@@ -1,13 +1,231 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzer
+import graft.index.{IndexBuilder, IndexStore}
+import graft.model.{Doc, Turn}
+import graft.query.QueryEngine
+import graft.sources.TranscriptSource
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with DuckDB-equivalent `oracleSql` where the
+  * semantics are SQL-expressible.
+  *
+  * The canonical input is the transcripts table (north rule `input_hint`)
+  * derived deterministically from `<sfDir>/documents.parquet` so that the
+  * DuckDB oracle can re-derive the identical rows (TranscriptSource).
+  * BM25 scores are rounded to 4 decimals *before* ranking on both sides —
+  * cross-engine float sums agree far beyond 1e-4, and the (score desc,
+  * docId asc) tie-break then makes ranks deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private[graft] val cfg = IndexBuilder.Config()
+
+  // ---------------------------------------------------------------- caching
+  private val relCache = TrieMap.empty[String, IndexBuilder.Relations]
+  private val idxCache = TrieMap.empty[String, IndexStore.Index]
+
+  private[graft] def transcripts(s: SparkSession, dir: String): DataFrame =
+    TranscriptSource.fromDocuments(s, dir)
+
+  private[graft] def turns(s: SparkSession, dir: String): Dataset[Turn] = {
+    import s.implicits._
+    transcripts(s, dir).as[Turn]
+  }
+
+  private[graft] def rel(s: SparkSession, dir: String): IndexBuilder.Relations =
+    relCache.getOrElseUpdate(s.hashCode() + "|" + dir,
+      IndexBuilder.relations(s, turns(s, dir), cfg))
+
+  private[graft] def index(s: SparkSession, dir: String): IndexStore.Index =
+    idxCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft-index-$safe"
+      IndexStore.build(s, turns(s, dir), out, snapshotId = dir, cfg)
+      IndexStore.load(s, out)
+    })
+
+  // ---------------------------------------------------------- BM25 plumbing
+
+  /** Reference query set mapped onto the corpus vocabulary (FIXTURES.md §3). */
+  private[graft] val querySet: Seq[(String, String)] = Seq(
+    "q1" -> "Spark query join data", // bm25_searcher.py:22 shape
+    "q2" -> "the stream window group batch sort", // stopword in query
+    "q3" -> "hash merge customer line",
+    "q4" -> "vector column scan slow",
+    "q5" -> "big small fast part",
+    "q6" -> "join", // head term (WAND stress)
+    "q7" -> "dup", // rare term
+    "q8" -> "zzznotaterm", // absent term -> empty result
+    "q9" -> "join zzznotaterm data", // absent terms contribute 0
+    "q10" -> "data data data" // repeated query term: qtf = 3
+  )
+  private[graft] val queryText: Map[String, String] = querySet.toMap
+
+  /** Round→rank→decorate: shared output shape for every BM25 path. */
+  private def finish(top: DataFrame, docs: Dataset[Doc], k: Int): DataFrame = {
+    val rounded = top.withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("docId").asc).limit(k)
+    val w = Window.orderBy(col("score").desc, col("docId").asc)
+    rounded
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .join(docs.toDF(), Seq("docId"))
+      .select(col("rank"), col("docId").as("doc_id"), col("score"),
+        col("conv_id"), col("turn_idx"), col("text"))
+      .orderBy(col("rank"))
+  }
+
+  private[graft] def bm25(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
+    val r = rel(s, dir)
+    // score everything (small verify scale), rank on rounded scores
+    val top = QueryEngine.exhaustiveTopK(s, r, q, Int.MaxValue, cfg)
+    finish(top, r.docs, k)
+  }
+
+  private[graft] def bm25Wand(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
+      q, 10000, cfg)
+    finish(top, idx.docs, k)
+  }
+
+  // ---------------------------------------------------------------- contract
+
+  /** Flagship: decorated BM25 top-10 for q1 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    bm25(spark, "/root/testdata/sf0.001", queryText("q1"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    engineQueries ++ graft.operators.Relational.queries ++
+      graft.operators.TrainingData.queries
+
+  def oracleSql: Map[String, String] =
+    engineOracles ++ graft.operators.Relational.oracles ++
+      graft.operators.TrainingData.oracles
+
+  // ------------------------------------------------------- engine queries
+
+  private def engineQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "transcripts" -> ((s, dir) => transcripts(s, dir)),
+      "docids" -> ((s, dir) =>
+        rel(s, dir).docs.toDF()
+          .select(col("docId").as("doc_id"), col("conv_id"), col("turn_idx"), col("text"))),
+      "doc_stats" -> ((s, dir) =>
+        rel(s, dir).docStats
+          .select(col("docId").as("doc_id"), col("dl").cast("int").as("dl"))),
+      "term_stats" -> ((s, dir) =>
+        rel(s, dir).termStats.toDF()
+          .select(col("term"), col("df"), round(col("idf"), 6).as("idf"))),
+      "corpus_stats" -> ((s, dir) => {
+        val c = rel(s, dir).corpus
+        val one = s.range(1)
+        one.select(lit(c.docCount).as("n"), round(lit(c.avgdl), 6).as("avgdl"))
+      }),
+      "postings" -> ((s, dir) =>
+        rel(s, dir).postings.toDF()
+          .select(col("term"), col("docId").as("doc_id"), col("tf").cast("int").as("tf")))
+    )
+    val bm25Qs = querySet.map { case (qid, text) =>
+      s"bm25_$qid" -> ((s: SparkSession, dir: String) => bm25(s, dir, text))
+    }
+    val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>
+      s"bm25_wand_$qid" -> ((s: SparkSession, dir: String) => bm25Wand(s, dir, queryText(qid)))
+    }
+    base ++ bm25Qs ++ wandQs
+  }
+
+  // -------------------------------------------------------- oracle SQL
+
+  /** Stopwords that can actually occur as tokens (the analyzer never emits
+    * apostrophes, so words like "don't" are unreachable on both sides).
+    */
+  private lazy val sqlStopList: String = Analyzer.englishStopwords.toSeq
+    .filter(_.matches("[\\p{L}\\p{N}]+")).sorted
+    .map(w => s"'$w'").mkString(", ")
+
+  private def cteTranscripts: String =
+    s"""transcripts AS (
+       |  SELECT
+       |    'conv-' || lpad(CAST(doc_id % ${TranscriptSource.Convs} AS VARCHAR), 4, '0') AS conv_id,
+       |    CAST(floor(doc_id / ${TranscriptSource.Convs}) AS INT) AS turn_idx,
+       |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+       |         WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+       |    text,
+       |    CASE CAST(doc_id % 4 AS INT) WHEN 3 THEN 'search' ELSE '' END AS tool,
+       |    TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS ts
+       |  FROM documents)""".stripMargin
+
+  private def cteDocs: String =
+    """docs AS (
+      |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+      |         conv_id, turn_idx, text
+      |  FROM transcripts WHERE text IS NOT NULL AND trim(text) <> '')""".stripMargin
+
+  private def cteTokens: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\pL\\pN]+')) AS term
+       |  FROM docs),
+       |ftoks AS (SELECT doc_id, term FROM toks WHERE term NOT IN ($sqlStopList)),
+       |dstat AS (
+       |  SELECT d.doc_id, CAST(coalesce(t.c, 0) AS INT) AS dl
+       |  FROM docs d LEFT JOIN (SELECT doc_id, count(*) AS c FROM ftoks GROUP BY 1) t
+       |  USING (doc_id)),
+       |corpus AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |                  (SELECT avg(dl) FROM dstat) AS avgdl),
+       |post AS (SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM ftoks GROUP BY 1, 2),
+       |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1)""".stripMargin
+
+  private def bm25OracleSql(queryText: String): String = {
+    val qterms = Analyzer.analyzeQuery(queryText, cfg.analyzer)
+    val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |q(term, qtf) AS (VALUES $values),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c),
+       |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
+       |FROM scores s JOIN docs d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
+  private def engineOracles: Map[String, String] = {
+    val base = Map(
+      "transcripts" ->
+        s"WITH $cteTranscripts SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+      "docids" ->
+        s"WITH $cteTranscripts,\n$cteDocs SELECT doc_id, conv_id, turn_idx, text FROM docs",
+      "doc_stats" ->
+        s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT doc_id, dl FROM dstat",
+      "term_stats" ->
+        (s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens " +
+          "SELECT t.term, t.df, round(ln((c.n + 1.0) / (t.df + 1.0)), 6) AS idf " +
+          "FROM tstat t CROSS JOIN corpus c"),
+      "corpus_stats" ->
+        s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT n, round(avgdl, 6) AS avgdl FROM corpus",
+      "postings" ->
+        s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT term, doc_id, tf FROM post"
+    )
+    val bm25Qs = querySet.map { case (qid, text) => s"bm25_$qid" -> bm25OracleSql(text) }
+    val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>
+      s"bm25_wand_$qid" -> bm25OracleSql(queryText(qid))
+    }
+    base ++ bm25Qs ++ wandQs
+  }
 }

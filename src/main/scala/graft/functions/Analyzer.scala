@@ -1,0 +1,87 @@
+package graft.functions
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The single text analyzer shared by the index build and the query path.
+  *
+  * Semantics (pinned in the index manifest so query-time analysis always
+  * matches, see north rule "lowercase + Unicode word-break"):
+  *   1. lowercase (root locale),
+  *   2. extract maximal runs of Unicode letters/digits `[\p{L}\p{N}]+`
+  *      (a portable, RE2/Java-regex-compatible word-break — the reference
+  *      used whitespace split, /root/reference/data_processing/
+  *      Lexical_indexing/LexicalIndexer.scala:35-37; we supersede it),
+  *   3. optionally drop stopwords (default = Spark ML's English list for
+  *      reference parity with StopWordsRemover, LexicalIndexer.scala:40-42).
+  *
+  * Two *provably identical* implementations are exposed:
+  *   - `tokenize` — plain Scala, used by the scalar oracle, the query-side
+  *     analyzer, and mapPartitions code;
+  *   - `tokensCol` — a Catalyst Column (lower + regexp_extract_all + filter),
+  *     fully whole-stage-codegen'd, used in the distributed build.
+  * A property test asserts they agree on arbitrary Unicode input.
+  */
+object Analyzer {
+
+  val TokenPattern = "[\\p{L}\\p{N}]+"
+  private val compiled = Pattern.compile(TokenPattern)
+
+  /** Spark ML's default English stopword list
+    * (org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords),
+    * loaded from the Spark jars on the classpath so we stay byte-identical
+    * with the reference's StopWordsRemover stage.
+    */
+  lazy val englishStopwords: Set[String] =
+    org.apache.spark.ml.feature.StopWordsRemover
+      .loadDefaultStopWords("english").toSet
+
+  final case class Config(stopwords: Set[String]) {
+    /** Stable string pinned into the index manifest. */
+    def fingerprint: String =
+      s"lower+unicode-word-break+stop(${stopwords.size})"
+  }
+  val default: Config = Config(englishStopwords)
+  val noStopwords: Config = Config(Set.empty)
+
+  /** Scala-side analyzer (oracle / query path / mapPartitions). Total:
+    * never throws; null/empty text yields an empty sequence.
+    */
+  def tokenize(text: String, cfg: Config = default): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val lower = text.toLowerCase(Locale.ROOT)
+    val m = compiled.matcher(lower)
+    val out = Seq.newBuilder[String]
+    while (m.find()) {
+      val t = m.group()
+      if (!cfg.stopwords.contains(t)) out += t
+    }
+    out.result()
+  }
+
+  /** Catalyst-native analyzer: Column of array<string>. Stays inside
+    * whole-stage codegen (no UDF).
+    */
+  def tokensCol(text: Column, cfg: Config = default): Column = {
+    val toks = regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+    if (cfg.stopwords.isEmpty) toks
+    else {
+      val stop = cfg.stopwords.toSeq.sorted
+      filter(toks, t => !t.isin(stop: _*))
+    }
+  }
+
+  /** Query analysis: the SAME function as indexing (north rule / SURVEY
+    * §7.1). Returns (term, queryTf) with terms ascending — the pinned
+    * summation order for rank-identity. Repeated query terms score
+    * independently (each occurrence adds a full contribution), matching
+    * the reference's per-query-term loop
+    * (/root/reference/data_processing/Lexical_indexing/bm25_kernel.cu:44-66).
+    */
+  def analyzeQuery(query: String, cfg: Config = default): Seq[(String, Int)] =
+    tokenize(query, cfg).groupBy(identity).view
+      .mapValues(_.size).toSeq.sortBy(_._1)
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 relational operator coverage, one query per catalogued
+  * operator shape, over the driver's TPC-H-ish tables. Each entry has an
+  * exact DuckDB oracle; float-valued results are rounded (4-6 dp) before
+  * ranking/comparison so cross-engine summation-order ulps cannot flip a
+  * hash.
+  *
+  * Reference evidence for each shape is cited inline (SURVEY §2 table ids).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1: projection + pushed filter (LexicalIndexer.scala:26-30 shape)
+    "p1_select_prune" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))),
+
+    // P3+P4: null coalesce + concat (LexicalIndexer.scala:27-28)
+    "p3_coalesce_concat" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat_ws("|", coalesce(col("c_name"), lit("")), col("c_mktsegment")).as("label"))),
+
+    // P7: point lookup by key equality (fetch_paper_job.py:19)
+    "p7_point_lookup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") === lit(7L))
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))),
+
+    // P8: conditional expression (calculate_fwci.py:91-95)
+    "p8_conditional" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.05,
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .otherwise(round(col("l_extendedprice"), 4)).as("net"))),
+
+    // P9: type cast (calculate_fwci.py:30-31); floor first — Spark cast
+    // truncates but DuckDB CAST rounds, floor() agrees everywhere
+    "p9_cast" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"), floor(col("value")).cast("int").as("value_int"))),
+
+    // J2: shuffle equi-join + aggregate (enrich_embeddings_with_lookup.py:32)
+    "j2_equi_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // J3: tiny top-k side broadcast-joined to the big side for decoration
+    // (bm25_searcher.py:117-120)
+    "j3_topk_decorate" -> ((s, dir) => {
+      val top = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+      t(s, dir, "customer")
+        .join(broadcast(top), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"), col("c_name"))
+    }),
+
+    // J5: multi-key equi-join (calculate_fwci.py:90)
+    "j5_multikey" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+      val b = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 4).as("qty"))
+      a.join(b, Seq("l_partkey", "l_suppkey"))
+    }),
+
+    // semi/anti joins (not in reference — EXISTS/NOT EXISTS coverage)
+    "j_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "j_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // A1: global average (bm25_precompute.py:34-39)
+    "a1_global_avg" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(round(avg(col("l_quantity")), 6).as("avg_qty"))),
+
+    // A2: grouped average (calculate_fwci.py:84-86)
+    "a2_grouped_avg" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))),
+
+    // A3 shape: distinct count per group (document frequency analogue)
+    "a3_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // A9: dedup (create_lookup_table.py:34)
+    "a9_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // W1: percent_rank over (partition, order) (calculate_percentiles.py:28-32)
+    "w1_percent_rank" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        round(percent_rank().over(
+          Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)), 6)
+          .as("pct"))),
+
+    // window frame: running sum per key (engine-relevant prefix-sum shape)
+    "w2_running_sum" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round(sum(col("value")).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running"))),
+
+    // time-bucketed aggregation (streaming-window shape, batch form)
+    "w3_time_bucket" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))),
+
+    // T1: global top-k with total-order tie-break (bm25_searcher.py:111)
+    "t1_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(20)),
+
+    // set op: UNION ALL (incremental snapshot merge shape, SURVEY §2.7)
+    "u_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .union(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_orderstatus")))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p1_select_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+    "p3_coalesce_concat" ->
+      "SELECT c_custkey, concat_ws('|', coalesce(c_name, ''), c_mktsegment) AS label FROM customer",
+    "p7_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice FROM orders WHERE o_orderkey = 7",
+    "p8_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_discount > 0.05 THEN round(l_extendedprice * (1.0 - l_discount), 4)
+        |     ELSE round(l_extendedprice, 4) END AS net FROM lineitem""".stripMargin,
+    "p9_cast" ->
+      "SELECT event_id, CAST(floor(value) AS INT) AS value_int FROM events",
+    "j2_equi_agg" ->
+      """SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
+    "j3_topk_decorate" ->
+      """WITH top AS (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |SELECT t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice, c.c_name
+        |FROM customer c JOIN top t ON t.o_custkey = c.c_custkey""".stripMargin,
+    "j5_multikey" ->
+      """WITH a AS (SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, l_suppkey, round(sum(l_quantity), 4) AS qty FROM lineitem GROUP BY 1, 2)
+        |SELECT a.l_partkey, a.l_suppkey, a.n, b.qty
+        |FROM a JOIN b ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey""".stripMargin,
+    "j_semi" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "j_anti" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "a1_global_avg" ->
+      "SELECT round(avg(l_quantity), 6) AS avg_qty FROM lineitem",
+    "a2_grouped_avg" ->
+      """SELECT l_returnflag, l_linestatus, round(avg(l_quantity), 6) AS avg_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "a3_count_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders FROM lineitem GROUP BY 1",
+    "a9_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "w1_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pct
+        |FROM customer""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT user_id, event_id,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM events""".stripMargin,
+    "w3_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |round(sum(value), 4) AS total FROM events GROUP BY 1, 2""".stripMargin,
+    "t1_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem ORDER BY round(l_extendedprice, 2) DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "u_union" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+  )
+}

@@ -1,0 +1,309 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Analyzer
+import graft.index.{Codec, IndexBuilder}
+import graft.model._
+
+/** Top-k BM25 query engine. Two exact, rank-identical paths:
+  *
+  *   - `exhaustiveTopK`: relational scoring over the postings Dataset —
+  *     pure built-in operators (broadcast joins + deterministic per-doc
+  *     fold), fully inside whole-stage codegen. This is the semantic
+  *     baseline every optimized path must match (SURVEY.md §7.3 step 3).
+  *
+  *   - `wandTopK`: block-max WAND over the encoded posting blocks in a
+  *     typed mapPartitions, one document-at-a-time scorer per docId-range
+  *     shard, per-shard top-k heap, then a global
+  *     orderBy(score desc, docId asc).limit(k) (Spark plans it as
+  *     TakeOrderedAndProject, like the reference's final
+  *     orderBy/limit, /root/reference/data_processing/Lexical_indexing/
+  *     bm25_searcher.py:111). Block-max metadata is an upper bound used
+  *     only to SKIP work, never to approximate — exactness is
+  *     property-tested against the exhaustive path.
+  *
+  * Contrast with the reference's scorer, which funneled every document to
+  * a single GPU task via repartition(1) (bm25_searcher.py:102-107); here
+  * every shard scores independently and in parallel.
+  */
+object QueryEngine {
+
+  /** Exact BM25 contribution as a Column — the association mirrors
+    * Bm25.contribution token for token so both produce bit-identical
+    * doubles.
+    */
+  private def contributionCol(qtf: Column, idf: Column, tf: Column, dl: Column,
+      avgdl: Double, p: Bm25Params): Column =
+    qtf * idf * (tf * lit(p.k1 + 1.0) /
+      (tf + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * dl / lit(avgdl))))
+
+  /** Relational top-k: returns (docId, score), exact doubles, already
+    * ordered (score desc, docId asc) and limited to k.
+    *
+    * Plan shape: postings filtered to the (tiny) query-term set → broadcast
+    * joins against query weights and term stats → per-doc deterministic
+    * fold in ascending term order (collect_list of <=|q| structs +
+    * array_sort + aggregate — never more elements than query terms) →
+    * TakeOrderedAndProject.
+    */
+  def exhaustiveTopK(
+      spark: SparkSession,
+      rel: IndexBuilder.Relations,
+      query: String,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val qterms = Analyzer.analyzeQuery(query, cfg.analyzer)
+    if (qterms.isEmpty) return emptyScores(spark)
+    val qdf = qterms.toDF("term", "qtf")
+    val p = cfg.params
+    val avgdl = rel.corpus.avgdl
+
+    rel.postings.toDF()
+      .filter($"term".isin(qterms.map(_._1): _*))
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(rel.termStats.toDF()), Seq("term"))
+      .withColumn("contrib",
+        contributionCol($"qtf", $"idf", $"tf", $"dl", avgdl, p))
+      .groupBy($"docId")
+      .agg(collect_list(struct($"term", $"contrib")).as("cs"))
+      .select($"docId",
+        aggregate(array_sort($"cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
+  private def emptyScores(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Double)].toDF("docId", "score")
+  }
+
+  /** Decorate top-k scores with the originating turn (reference join J3
+    * shape, bm25_searcher.py:117-120): the k-row side is broadcast.
+    */
+  def decorate(topK: DataFrame, docs: Dataset[Doc]): DataFrame = {
+    docs.toDF()
+      .join(broadcast(topK), Seq("docId"))
+      .select(col("docId"), col("score"), col("conv_id"), col("turn_idx"), col("text"))
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
+  // ---------------------------------------------------------------- WAND
+
+  /** Query-term state passed to executors: weight = qtf * idf. */
+  private final case class QTerm(term: String, weight: Double)
+
+  /** Block-max WAND top-k over encoded blocks.
+    *
+    * @param blocks     the PostingBlock dataset/table (parquet-backed when
+    *                   reading a built index; term predicate is pushed to
+    *                   the scan)
+    * @param termStats  full term-stats relation; only the query's rows are
+    *                   collected (<= |q| rows)
+    */
+  def wandTopK(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      query: String,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val analyzed = Analyzer.analyzeQuery(query, cfg.analyzer)
+    if (analyzed.isEmpty) return emptyScores(spark)
+    val names = analyzed.map(_._1)
+    val idfs: Map[String, Double] = termStats
+      .filter($"term".isin(names: _*))
+      .collect().map(t => t.term -> t.idf).toMap
+    // terms absent from the corpus contribute 0: drop up front
+    val qts: Seq[QTerm] = analyzed.collect {
+      case (t, qtf) if idfs.contains(t) => QTerm(t, qtf * idfs(t))
+    }
+    if (qts.isEmpty) return emptyScores(spark)
+
+    val p = cfg.params
+    val avgdl = corpus.avgdl
+    val kk = k
+    val qtsB = spark.sparkContext.broadcast(qts.sortBy(_.term))
+
+    val candidates = blocks
+      .filter($"term".isin(names: _*))
+      .repartitionByRange(cfg.numShards, $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .mapPartitions { it =>
+        WandScorer.scorePartition(it.buffered, qtsB.value, kk, p.k1, p.b, avgdl)
+      }
+      .toDF("docId", "score")
+
+    candidates.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Document-at-a-time WAND, one shard at a time within a partition. */
+  private[query] object WandScorer {
+
+    final class Cursor(val term: String, val weight: Double,
+        blocks: Array[PostingBlock], k1: Double, b: Double, avgdl: Double) {
+      // blocks are docId-sorted and non-overlapping within (shard, term)
+      val globalUb: Double = {
+        var m = 0.0
+        var i = 0
+        while (i < blocks.length) { if (blocks(i).maxPartial > m) m = blocks(i).maxPartial; i += 1 }
+        weight * m
+      }
+      private var bi = 0
+      private var decoded: Array[Codec.P] = Codec.decode(blocks(0).payload, blocks(0).n)
+      private var pi = 0
+      var exhausted: Boolean = false
+
+      def curDoc: Long = decoded(pi).docId
+      def curBlockUb: Double = weight * blocks(bi).maxPartial
+
+      def currentContribution(): Double =
+        weight * (decoded(pi).tf * (k1 + 1.0) /
+          (decoded(pi).tf + k1 * (1.0 - b + b * decoded(pi).dl / avgdl)))
+
+      def advance(): Unit = {
+        pi += 1
+        if (pi >= decoded.length) nextBlock()
+      }
+
+      /** Skip forward to the first posting with docId >= target. Whole
+        * blocks are skipped on maxDocId metadata alone — only the landing
+        * block is decoded.
+        */
+      def advanceTo(target: Long): Unit = {
+        if (exhausted) return
+        if (blocks(bi).maxDocId >= target) {
+          // target lies in the current (already decoded) block
+          while (decoded(pi).docId < target) pi += 1 // maxDocId bound => terminates
+          return
+        }
+        var nb = bi + 1
+        while (nb < blocks.length && blocks(nb).maxDocId < target) nb += 1
+        bi = nb
+        if (bi >= blocks.length) { exhausted = true; decoded = null; return }
+        decoded = Codec.decode(blocks(bi).payload, blocks(bi).n)
+        pi = 0
+        while (decoded(pi).docId < target) pi += 1
+      }
+
+      private def nextBlock(): Unit = {
+        bi += 1
+        if (bi >= blocks.length) { exhausted = true; decoded = null }
+        else { decoded = Codec.decode(blocks(bi).payload, blocks(bi).n); pi = 0 }
+      }
+    }
+
+    /** Rows must arrive sorted by (shardId, term, minDocId). */
+    def scorePartition(
+        it: BufferedIterator[PostingBlock],
+        qts: Seq[QTerm],
+        k: Int,
+        k1: Double, b: Double, avgdl: Double
+    ): Iterator[(Long, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (it.hasNext) {
+        val shard = it.head.shardId
+        val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
+        while (it.hasNext && it.head.shardId == shard) {
+          val blk = it.next()
+          byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
+        }
+        val cursors = qts.flatMap { qt =>
+          byTerm.get(qt.term).map { bs =>
+            new Cursor(qt.term, qt.weight, bs.sortBy(_.minDocId).toArray, k1, b, avgdl)
+          }
+        }
+        if (cursors.nonEmpty) out ++= wandShard(cursors.toArray, k)
+      }
+      out.iterator
+    }
+
+    /** Plain WAND pivot selection on global term upper bounds, with a
+      * block-max refinement: once a pivot is chosen, the sum of the
+      * *current-block* upper bounds must still beat the threshold or the
+      * pivot is skipped without decoding/scoring (Ding & Suel's BMW).
+      * Threshold semantics respect the global tie-break
+      * (score desc, docId asc): within a shard docIds only grow, so a
+      * candidate whose upper bound is <= θ can never displace a heap entry.
+      */
+    private def wandShard(cursors: Array[Cursor], k: Int): Seq[(Long, Double)] = {
+      // min-heap of (score, docId) under ordering: worse = smaller score,
+      // or equal score with larger docId
+      implicit val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+        def compare(a: (Long, Double), b: (Long, Double)): Int = {
+          val c = java.lang.Double.compare(b._2, a._2) // smaller score first
+          if (c != 0) c else java.lang.Long.compare(a._1, b._1) // larger docId first
+        }
+      }
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
+      def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._2
+
+      val live = scala.collection.mutable.ArrayBuffer(cursors.toIndexedSeq: _*)
+      while (live.nonEmpty) {
+        val sorted = live.sortBy(_.curDoc)
+        // pivot: first position where the prefix upper-bound sum beats theta
+        var acc = 0.0
+        var pivotIdx = -1
+        var i = 0
+        while (i < sorted.length && pivotIdx < 0) {
+          acc += sorted(i).globalUb
+          if (acc > theta) pivotIdx = i
+          i += 1
+        }
+        if (pivotIdx < 0) {
+          live.clear() // nothing remaining can beat theta
+        } else {
+          val pivotDoc = sorted(pivotIdx).curDoc
+          if (sorted.head.curDoc == pivotDoc) {
+            // block-max refinement: tighten with current-block ubs
+            var blockAcc = 0.0
+            var j = 0
+            while (j <= pivotIdx) { blockAcc += sorted(j).curBlockUb; j += 1 }
+            if (blockAcc > theta) {
+              // score pivotDoc exactly, ascending term order (cursors were
+              // built term-sorted; sortBy on curDoc is stable, but re-sort
+              // the matching set by term to pin summation order)
+              val matching = sorted.iterator
+                .takeWhile(_.curDoc == pivotDoc).toArray.sortBy(_.term)
+              var score = 0.0
+              var m = 0
+              while (m < matching.length) { score += matching(m).currentContribution(); m += 1 }
+              if (heap.size < k) heap.enqueue((pivotDoc, score))
+              else {
+                val worst = heap.head
+                if (score > worst._2 || (score == worst._2 && pivotDoc < worst._1)) {
+                  heap.dequeue(); heap.enqueue((pivotDoc, score))
+                }
+              }
+              matching.foreach(_.advance())
+            } else {
+              // skip: advance every cursor sitting on pivotDoc past it
+              sorted.iterator.takeWhile(_.curDoc == pivotDoc)
+                .foreach(_.advanceTo(pivotDoc + 1))
+            }
+          } else {
+            // advance the lagging cursor with the largest ub (classic WAND
+            // picks any pre-pivot cursor; largest-ub advances fastest)
+            var best = 0
+            var j = 1
+            while (j < pivotIdx) {
+              if (sorted(j).globalUb > sorted(best).globalUb) best = j
+              j += 1
+            }
+            sorted(best).advanceTo(pivotDoc)
+          }
+          var li = live.length - 1
+          while (li >= 0) { if (live(li).exhausted) live.remove(li); li -= 1 }
+        }
+      }
+      heap.dequeueAll.reverse
+    }
+  }
+}
