@@ -1,24 +1,141 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexStore}
+import graft.model.Turn
+import graft.query.QueryEngine
+
+/** Benchmark harness (north rule + BASELINE.md targets).
+  *
+  * Headline: index-build throughput (turns/sec) for the SAME synthetic
+  * transcript input at two parallelism levels — local[8] and local[32] —
+  * standing in for the N vs 4N executor cluster this sandbox cannot run,
+  * plus top-k BM25 query p95 against the built index (warm session).
+  * Scaling efficiency = throughput(32) / (4 × throughput(8)).
+  *
+  * Also times every SparkEntry query once on SPARK_GRAFT_SF_DIR at
+  * SPARK_GRAFT_CPUS for the driver's per-round comparison.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Deterministic synthetic transcripts generated entirely in Spark
+    * expressions (no driver-side data): Zipf-skewed vocabulary via
+    * pow(u, 3) over an xxhash64-derived uniform, ~24 tokens per turn,
+    * 20 turns per conversation.
+    */
+  def syntheticTurns(spark: SparkSession, n: Long, vocab: Int = 5000): Dataset[Turn] = {
+    import spark.implicits._
+    val vocabStr = (0 until vocab).map(i => f"term$i%05d").mkString(" ")
+    val words = split(lit(vocabStr), " ") // constant-folded once
+    val textCol = concat_ws(" ",
+      transform(sequence(lit(1), lit(24)), i =>
+        element_at(words,
+          (pow(pmod(xxhash64(col("id"), i), lit(1048576L)).cast("double") / 1048576.0, 3.0) *
+            vocab).cast("int") + 1)))
+    spark.range(n).select(
+      format_string("conv-%08d", col("id") / 20).as("conv_id"),
+      (col("id") % 20).cast("int").as("turn_idx"),
+      element_at(array(lit("user"), lit("assistant"), lit("system"), lit("tool")),
+        (col("id") % 4).cast("int") + 1).as("role"),
+      textCol.as("text"),
+      lit("").as("tool"),
+      expr("timestampadd(SECOND, id, TIMESTAMP '2026-01-01 00:00:00')").as("ts")
+    ).as[Turn]
+  }
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Build at one parallelism level; returns (buildSec, queryLatenciesSec). */
+  private def buildAndQuery(cpus: Int, nTurns: Long, reps: Int): (Double, Seq[Double]) = {
+    val spark = session(cpus)
+    try {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-$cpus-$nTurns"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val cfg = IndexBuilder.Config(numShards = cpus, docIdPartitions = cpus)
+      val turns = syntheticTurns(spark, nTurns)
+      val (_, buildSec) = time {
+        IndexStore.build(spark, turns, dir, snapshotId = s"bench-$nTurns", cfg)
+      }
+      val idx = IndexStore.load(spark, dir)
+      val blocks = idx.blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      blocks.count() // warm the cache (long-lived serving session)
+      val ts = idx.termStats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ts.count()
+      val queries = Seq(
+        "term00000 term00001", // head terms
+        "term00000 term00123 term01042",
+        "term02000 term03000", // mid
+        "term04800 term04999", // tail
+        "term00001")
+      val lats = (0 until reps).flatMap { _ =>
+        queries.map { q =>
+          time(QueryEngine.wandTopK(spark, blocks, ts, idx.corpus, q, 10, cfg).collect())._2
+        }
+      }
+      (buildSec, lats)
+    } finally spark.stop()
+  }
+
+  private def p(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.size - 1, math.ceil(q * s.size).toInt - 1).max(0))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "1000000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
+
+    // ---- scaling evidence: same input, 8 vs 32 threads ----
+    val (build8, lats8) = buildAndQuery(8, nTurns, reps)
+    val (build32, lats32) = buildAndQuery(32, nTurns, reps)
+    val thr8 = nTurns / build8
+    val thr32 = nTurns / build32
+    val eff = thr32 / (4.0 * thr8)
+
+    // ---- per-query timings on the driver's sf dir ----
+    val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val entries: Seq[(String, Double)] = Seq(
+      "build_turns" -> nTurns.toDouble,
+      "build_local8_sec" -> build8,
+      "build_local32_sec" -> build32,
+      "turns_per_sec_local8" -> thr8,
+      "turns_per_sec_local32" -> thr32,
+      "scaling_efficiency_8_to_32" -> eff,
+      "query_p50_local8_sec" -> p(lats8, 0.50),
+      "query_p95_local8_sec" -> p(lats8, 0.95),
+      "query_p50_local32_sec" -> p(lats32, 0.50),
+      "query_p95_local32_sec" -> p(lats32, 0.95)
+    ) ++ perQuery
+    val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = build32 + perQuery.map(_._2).filter(_ > 0).sum
+    println(s"""{"metric":"index-build turns/sec @local[32] + query p95","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

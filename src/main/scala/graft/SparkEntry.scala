@@ -103,7 +103,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     engineQueries ++ graft.operators.Relational.queries ++
-      graft.operators.TrainingData.queries
+      graft.operators.TrainingData.queries ++ graft.operators.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     engineOracles ++ graft.operators.Relational.oracles ++
@@ -130,7 +130,14 @@ object SparkEntry {
       }),
       "postings" -> ((s, dir) =>
         rel(s, dir).postings.toDF()
-          .select(col("term"), col("docId").as("doc_id"), col("tf").cast("int").as("tf")))
+          .select(col("term"), col("docId").as("doc_id"), col("tf").cast("int").as("tf"))),
+      // round-trip through the ENCODED index via the decode_block Catalyst
+      // expression — must hash-match the `postings` oracle exactly
+      "postings_from_blocks" -> ((s, dir) =>
+        index(s, dir).blocks.toDF()
+          .select(col("term"),
+            explode(graft.plans.DecodeBlock(col("payload"), col("n"))).as("p"))
+          .select(col("term"), col("p.docId").as("doc_id"), col("p.tf")))
     )
     val bm25Qs = querySet.map { case (qid, text) =>
       s"bm25_$qid" -> ((s: SparkSession, dir: String) => bm25(s, dir, text))
@@ -220,6 +227,8 @@ object SparkEntry {
       "corpus_stats" ->
         s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT n, round(avgdl, 6) AS avgdl FROM corpus",
       "postings" ->
+        s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT term, doc_id, tf FROM post",
+      "postings_from_blocks" ->
         s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT term, doc_id, tf FROM post"
     )
     val bm25Qs = querySet.map { case (qid, text) => s"bm25_$qid" -> bm25OracleSql(text) }

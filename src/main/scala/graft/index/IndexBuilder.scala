@@ -110,9 +110,15 @@ object IndexBuilder {
     val avgdl = rel.corpus.avgdl
     val blockSize = cfg.blockSize
 
+    // hash-repartition on the (shardId, term) GROUP key — never on docId —
+    // so a group can never straddle a partition boundary: block boundaries
+    // are then a deterministic function of the group's sorted postings
+    // (required for resumable / checksum-stable builds). Group size is
+    // already bounded by the doc-range sharding (a head term's postings are
+    // split across all shards), so hash partitioning cannot hotspot.
     rel.postings
       .withColumn("shardId", (col("docId") / shardSize).cast("int"))
-      .repartitionByRange(cfg.numShards, $"shardId", $"term", $"docId")
+      .repartition(cfg.numShards, $"shardId", $"term")
       .sortWithinPartitions($"shardId", $"term", $"docId")
       .select($"shardId", $"term", $"docId", $"tf", $"dl")
       .as[(Int, String, Long, Int, Int)]

@@ -20,7 +20,12 @@ import graft.model.Bm25Params
   */
 object Bm25 {
 
-  def idf(n: Long, df: Long): Double = math.log((n + 1.0) / (df + 1.0))
+  /** StrictMath.log, not math.log: Catalyst's Log expression evaluates via
+    * StrictMath, and the two can differ by 1 ulp — enough to break
+    * bit-identical rank-identity between the scalar oracle and the
+    * distributed paths.
+    */
+  def idf(n: Long, df: Long): Double = java.lang.StrictMath.log((n + 1.0) / (df + 1.0))
 
   /** tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — written with the exact
     * association mirrored by the Catalyst expression in QueryEngine.

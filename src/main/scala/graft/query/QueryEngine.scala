@@ -289,11 +289,16 @@ object QueryEngine {
                 .foreach(_.advanceTo(pivotDoc + 1))
             }
           } else {
-            // advance the lagging cursor with the largest ub (classic WAND
-            // picks any pre-pivot cursor; largest-ub advances fastest)
+            // advance a lagging cursor. It MUST be one with curDoc strictly
+            // below the pivot (cursors at indices < pivotIdx can already sit
+            // AT pivotDoc when docIds tie) — advancing a cursor already at
+            // pivotDoc is a no-op and would loop forever. Among the strict
+            // predecessors, pick the largest upper bound (advances fastest).
+            var limit = 0
+            while (limit < pivotIdx && sorted(limit).curDoc < pivotDoc) limit += 1
             var best = 0
             var j = 1
-            while (j < pivotIdx) {
+            while (j < limit) {
               if (sorted(j).globalUb > sorted(best).globalUb) best = j
               j += 1
             }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface.
+  *
+  * The reference has no streaming at all (SURVEY.md §2.11) and the north
+  * rule's incrementality is batch-snapshot based — this module exists to
+  * cover the streaming-ingest shape a transcript pipeline needs at scale:
+  * watermarked windowed aggregation over an event stream, and custom
+  * sessionization state via mapGroupsWithState. Tested with the parquet
+  * file-stream source + memory sink (StreamingSpec).
+  */
+object EventStream {
+
+  /** Watermarked tumbling-window aggregation (5-minute windows, 10-minute
+    * watermark) over (ts, event_type, value).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      // parquet timestamp[us] loads as TIMESTAMP_NTZ; event-time semantics
+      // (watermarks) require TIMESTAMP_LTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  final case class Session(user_id: Long, n_events: Long, total: Double)
+
+  /** Per-user running session state via mapGroupsWithState (the
+    * KeyValueGroupedDataset custom-state shape).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Session]) =>
+          val prev = state.getOption.getOrElse(Session(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = Session(user, n, total)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** File-stream source over a parquet events directory with an explicit
+    * schema (streaming sources cannot infer). `dir` must be a directory;
+    * `glob` selects the files inside it.
+    */
+  def readEvents(spark: SparkSession, dir: String, glob: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+
+  /** Drive a streaming query synchronously to completion on a static dir
+    * (memory sink), returning the materialized result.
+    */
+  def runOnce(spark: SparkSession, plan: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = plan.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.functions.Analyzer
+
+/** Analyzer invariants (SURVEY §5.2.2-3): totality, idempotence, pattern
+  * conformance, and Scala/Catalyst implementation parity.
+  */
+class AnalyzerSpec extends AnyFunSuite {
+
+  /** Deterministic property runner over a ScalaCheck Gen (scalatestplus
+    * is not in the offline cache; seeded Gen sampling is equivalent here).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    var s = seed
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, s).foreach(check)
+      s = s.next
+    }
+  }
+
+  private val cfg = Analyzer.default
+
+  test("edge cases: null, empty, whitespace, punctuation-only") {
+    assert(Analyzer.tokenize(null) == Nil)
+    assert(Analyzer.tokenize("") == Nil)
+    assert(Analyzer.tokenize("  \t\n ") == Nil)
+    assert(Analyzer.tokenize("!!! ... ---") == Nil)
+  }
+
+  test("unicode word-break: CJK, accents, digits, emoji, mixed") {
+    assert(Analyzer.tokenize("Hello, Wörld 世界 42 café—test", Analyzer.noStopwords) ==
+      Seq("hello", "wörld", "世界", "42", "café", "test"))
+    assert(Analyzer.tokenize("ROCKET🚀ship", Analyzer.noStopwords) == Seq("rocket", "ship"))
+  }
+
+  test("stopword removal matches Spark ML english list") {
+    assert(Analyzer.tokenize("the data and a table") == Seq("data", "table"))
+    assert(Analyzer.englishStopwords.contains("the"))
+  }
+
+  test("query analysis: repeated terms carry qtf; ascending term order") {
+    assert(Analyzer.analyzeQuery("data data data") == Seq(("data", 3)))
+    assert(Analyzer.analyzeQuery("zebra Alpha zebra") == Seq(("alpha", 1), ("zebra", 2)))
+  }
+
+  test("property: total, pattern-conformant, idempotent on its own output") {
+    forAllSeeded(Gen.asciiStr, 200) { s =>
+      val toks = Analyzer.tokenize(s, cfg)
+      assert(toks.forall(_.matches("[\\p{L}\\p{N}]+")))
+      assert(toks.forall(t => !cfg.stopwords.contains(t)))
+      val again = Analyzer.tokenize(toks.mkString(" "), cfg)
+      assert(again == toks)
+    }
+    // targeted unicode strings (arbitrary unicode can hit unpaired
+    // surrogates which no real text contains)
+    val unicodeGen = Gen.listOf(Gen.oneOf(
+      "café", "世界", "ДАННЫЕ", "42", "a-b_c", "x!y", "  ", "π≈3.14", "🚀",
+      "ＡＢＣ", "İstanbul", "ß")).map(_.mkString(" "))
+    forAllSeeded(unicodeGen, 100) { s =>
+      val toks = Analyzer.tokenize(s, cfg)
+      assert(toks.forall(_.matches("[\\p{L}\\p{N}]+")))
+    }
+  }
+
+  test("Scala and Catalyst analyzers agree (index/query path parity)") {
+    val spark = TestKit.spark
+    import spark.implicits._
+    val samples: Seq[String] =
+      TestKit.TranscriptGen.turns(seed = 7, nConvs = 30).map(_.text) ++
+        Seq(null, "", "   ", "Hello, Wörld 世界 42 café—test", "ROCKET🚀ship",
+          "the DATA and a Table", "İİİ", "ẞss", "ＡＢＣ１２３")
+    val df = samples.toDF("text")
+    val got = df.select(Analyzer.tokensCol($"text", cfg)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    samples.zip(got).foreach { case (s, sparkToks) =>
+      val scalaToks = Analyzer.tokenize(s, cfg)
+      if (s == null) assert(sparkToks == null || sparkToks.isEmpty)
+      else assert(sparkToks.toSeq == scalaToks, s"mismatch on: [$s]")
+    }
+  }
+}
