@@ -40,8 +40,11 @@ object SparkEntry {
   }
 
   private[graft] def rel(s: SparkSession, dir: String): IndexBuilder.Relations =
-    relCache.getOrElseUpdate(s.hashCode() + "|" + dir,
-      IndexBuilder.relations(s, turns(s, dir), cfg))
+    relCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docsDir = s"${sys.props("java.io.tmpdir")}/graft-docs-$safe"
+      IndexBuilder.relations(s, turns(s, dir), docsDir, cfg)
+    })
 
   private[graft] def index(s: SparkSession, dir: String): IndexStore.Index =
     idxCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
@@ -129,7 +132,7 @@ object SparkEntry {
         one.select(lit(c.docCount).as("n"), round(lit(c.avgdl), 6).as("avgdl"))
       }),
       "postings" -> ((s, dir) =>
-        rel(s, dir).postings.toDF()
+        rel(s, dir).postings
           .select(col("term"), col("docId").as("doc_id"), col("tf").cast("int").as("tf"))),
       // round-trip through the ENCODED index via the decode_block Catalyst
       // expression — must hash-match the `postings` oracle exactly

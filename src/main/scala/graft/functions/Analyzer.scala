@@ -68,10 +68,10 @@ object Analyzer {
   def tokensCol(text: Column, cfg: Config = default): Column = {
     val toks = regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
     if (cfg.stopwords.isEmpty) toks
-    else {
-      val stop = cfg.stopwords.toSeq.sorted
-      filter(toks, t => !t.isin(stop: _*))
-    }
+    // custom expression: O(1) interned-hash-set lookup per token instead of
+    // a 181-literal isin chain (the build's hottest stage — see
+    // graft.plans.FilterStopwords)
+    else graft.plans.FilterStopwords(toks, cfg.stopwords)
   }
 
   /** Query analysis: the SAME function as indexing (north rule / SURVEY

@@ -30,7 +30,20 @@ import graft.model.{Doc, Turn}
   */
 object DocIds {
 
-  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int): Dataset[Doc] = {
+  /** docs plus the total count (already computed by the offsets pass) and
+    * the internal sorted cache, which the caller must unpersist once it has
+    * materialized its own derivative of `docs`.
+    */
+  final case class Assigned(docs: Dataset[Doc], count: Long, cache: Dataset[Turn])
+
+  def assign(spark: SparkSession, turns: Dataset[Turn], partitions: Int): Dataset[Doc] =
+    assignWithCount(spark, turns, partitions).docs
+
+  /** `idOffset` shifts every assigned id — used by incremental snapshot
+    * appends, whose delta docs continue after the base corpus's ids.
+    */
+  def assignWithCount(spark: SparkSession, turns: Dataset[Turn], partitions: Int,
+      idOffset: Long = 0L): Assigned = {
     import spark.implicits._
     val sorted = turns
       .repartitionByRange(partitions, $"conv_id", $"turn_idx")
@@ -47,12 +60,12 @@ object DocIds {
 
     val offsets: Map[Int, Long] = {
       val byPid = counts.sortBy(_._1)
-      var acc = 0L
+      var acc = idOffset
       byPid.map { case (pid, n) => val o = (pid, acc); acc += n; o }.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
 
-    sorted.mapPartitions { it =>
+    val docs = sorted.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var next = bc.value.getOrElse(pid, 0L)
       it.map { t =>
@@ -61,5 +74,6 @@ object DocIds {
         d
       }
     }
+    Assigned(docs, counts.map(_._2).sum, sorted)
   }
 }

@@ -9,50 +9,59 @@ import graft.model._
 
 /** Distributed inverted-index build (SURVEY.md §7.3 steps 3-6, 8).
   *
-  * Two passes over the corpus (the reference made four:
-  * /root/reference/data_processing/Lexical_indexing/bm25_precompute.py
-  * runs avg-length, CountVectorizer.fit, IDF.fit and a UDF remap as
-  * separate scans — SURVEY.md §3.2):
+  * One pass over the raw corpus and exactly two exchanges (the reference
+  * made four full corpus scans: /root/reference/data_processing/
+  * Lexical_indexing/bm25_precompute.py runs avg-length, CountVectorizer.fit,
+  * IDF.fit and a UDF remap as separate scans — SURVEY.md §3.2):
   *
-  *   pass 1 — tokenize (codegen'd Column analyzer) → postings
-  *            `Dataset[(term, docId, tf, dl)]` + doc/term/corpus stats;
-  *            the postings Dataset is persisted;
-  *   pass 2 — shard by docId range, sort-merge shuffle on
-  *            (shardId, term, docId), stream-encode 128-posting
-  *            delta+varint blocks with block-max metadata in
-  *            mapPartitions (typed; never materializes a term's full
-  *            list).
-  *
-  * Sharding = salted repartitioning: head terms (a Zipf head term can
-  * appear in a large fraction of 10^12 turns) would hotspot a single
-  * reducer if the shuffle key were `term` alone — the reference "solved"
-  * skew by funneling everything to one GPU task via repartition(1)
-  * (bm25_searcher.py:102-104). Our salt is the docId range shard, so a
-  * head term's postings split evenly across all shards, each sub-list
-  * stays docId-sorted, and the full list is the concatenation of its
-  * shard sub-lists in shard order (no K-way merge needed). Doc-range
-  * sharding also makes document-at-a-time WAND exact per shard.
+  *   shuffle 1 — range-sort turns by (conv_id, turn_idx) for deterministic
+  *               docIDs (DocIds);
+  *   narrow    — tokenize (codegen analyzer) → per-row term_freqs map →
+  *               postings (shardId, term, docId, tf, dl): per-document
+  *               counts never leave their row, so no TOKEN ever crosses
+  *               the wire — only one already-counted posting row per
+  *               (doc, term);
+  *   shuffle 2 — the north rule's sort-merge shuffle: postings exchange on
+  *               the (shardId, term) group key + in-partition sort +
+  *               streaming 128-posting delta+varint block encode. The
+  *               docId-range shard IS the salt: a Zipf head term appearing
+  *               in a large fraction of 10^12 turns splits evenly across
+  *               all shards instead of hotspotting one reducer (the
+  *               reference "solved" skew by funneling everything to one
+  *               GPU task via repartition(1), bm25_searcher.py:102-104);
+  *               a term's global posting list is the concatenation of its
+  *               shard sub-lists in shard order.
   */
 object IndexBuilder {
 
   final case class Config(
       analyzer: Analyzer.Config = Analyzer.default,
       params: Bm25Params = Bm25Params(),
-      numShards: Int = 32,
+      /** lineage/pruning granularity; >= 4x the executor count keeps the
+        * hash placement of shards onto partitions balanced */
+      numShards: Int = 128,
       blockSize: Int = Codec.BlockSize,
-      docIdPartitions: Int = 32
+      docIdPartitions: Int = 32,
+      /** physical partitions for shard placement + encode; 0 = default
+        * parallelism */
+      encodePartitions: Int = 0
   )
 
   /** In-memory handle on the relational form of the index (pass-1 output).
-    * All members are lazy Spark plans except the collected scalars.
+    * `docs` is persisted and shard-aligned (carries a shardId column in its
+    * physical layout); `postings` is persisted, narrow over docs, and
+    * carries (shardId, term, docId, tf, dl).
     */
   final case class Relations(
-      docs: Dataset[Doc],
-      postings: Dataset[PostingDl],
+      docs: Dataset[Doc], // parquet-backed (checkpointed ids)
+      postings: DataFrame, // (shardId, term, docId, tf, dl), persisted
       docStats: DataFrame, // (docId, dl)
       termStats: Dataset[TermStat],
-      corpus: CorpusStats
-  )
+      corpus: CorpusStats,
+      shardSize: Long
+  ) {
+    def unpersistAll(): Unit = postings.unpersist()
+  }
 
   /** P6 filter: the indexed document set = turns with non-null, non-blank
     * text (reference parity: /root/reference/data_processing/
@@ -61,29 +70,62 @@ object IndexBuilder {
   def indexableTurns(turns: Dataset[Turn]): Dataset[Turn] =
     turns.filter(t => t.text != null && t.text.trim.nonEmpty)
 
-  def relations(spark: SparkSession, turns: Dataset[Turn], cfg: Config = Config()): Relations = {
+  def shardOf(docId: Long, shardSize: Long): Int = (docId / shardSize).toInt
+
+  /** `docsDir`: the docs-with-ids table is CHECKPOINTED to parquet there
+    * and read back before anything derives from it. This is load-bearing
+    * for correctness, not a convenience: docId assignment routes
+    * per-partition offsets by runtime partition id, which is only valid
+    * for the materialization the offsets were counted on — a cache
+    * eviction (or an unpersist of a plan-identical Dataset elsewhere:
+    * Spark's CacheManager matches by canonicalized plan!) would silently
+    * recompute the range exchange with fresh sampling and mis-route every
+    * offset. Parquet makes the ids durable; all downstream reads are
+    * recompute-safe.
+    *
+    * `idOffset`/`fixedShardSize`: set by incremental snapshot appends so
+    * delta docs continue the base id space and land in the base's shard
+    * grid. The returned `corpus`/`termStats` then describe the DELTA only
+    * (the append path merges them with the base's).
+    */
+  def relations(spark: SparkSession, turns: Dataset[Turn], docsDir: String,
+      cfg: Config = Config(),
+      idOffset: Long = 0L, fixedShardSize: Option[Long] = None): Relations = {
     import spark.implicits._
-    val docs = DocIds
-      .assign(spark, indexableTurns(turns), cfg.docIdPartitions)
+    val assigned = DocIds.assignWithCount(spark, indexableTurns(turns),
+      cfg.docIdPartitions, idOffset)
+    val n = assigned.count
+    val shardSize = fixedShardSize.getOrElse(
+      math.max(1L, (n + cfg.numShards - 1) / cfg.numShards))
+
+    assigned.docs.write.mode("overwrite").parquet(docsDir)
+    assigned.cache.unpersist() // sort layout no longer needed once ids are durable
+    val docs = spark.read.parquet(docsDir).as[Doc]
+
+    // tf is per-document: count INSIDE the row (custom term_freqs
+    // expression) instead of explode + groupBy(term, docId), which would
+    // shuffle every token in the corpus only to re-combine values that
+    // were co-located all along. shardId = docId/shardSize is a column,
+    // not a layout — the one posting-level exchange happens in encodeBlocks.
+    val postings = docs.toDF()
+      .select((col("docId") / shardSize).cast("int").as("shardId"),
+        $"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
+      .select($"shardId", $"docId", size($"toks").as("dl"),
+        explode(graft.plans.TermFreqs($"toks")).as(Seq("term", "tf")))
+      .select($"shardId", $"term", $"docId", $"tf", $"dl")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val toks = docs
-      .select($"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
-      .select($"docId", size($"toks").as("dl"), explode($"toks").as("term"))
+    // dl for every doc, including token-less ones (dl = 0), derived from
+    // the postings — NOT a second tokenize pass over the corpus.
+    val docStats = docs.select($"docId")
+      .join(postings.groupBy($"docId").agg(sum($"tf").cast("int").as("dl")),
+        Seq("docId"), "left")
+      .select($"docId", coalesce($"dl", lit(0)).as("dl"))
 
-    val postings = toks
-      .groupBy($"term", $"docId", $"dl")
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .select($"term", $"docId", $"tf", $"dl")
-      .as[PostingDl]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // dl for every doc, including token-less ones (dl = 0).
-    val docStats = docs
-      .select($"docId", size(Analyzer.tokensCol($"text", cfg.analyzer)).as("dl"))
-
-    val n = docs.count()
-    val avgdl = docStats.agg(avg($"dl")).as[Double].first()
+    // avgdl = total tokens / N; the sum is an exact integer so this equals
+    // avg(dl) in every summation order
+    val totalTokens = postings.agg(sum($"tf".cast("long"))).as[Option[Long]].first().getOrElse(0L)
+    val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
     val corpus = CorpusStats(n, avgdl)
 
     val termStats = postings
@@ -92,11 +134,16 @@ object IndexBuilder {
       .withColumn("idf", log((lit(n) + 1.0) / ($"df" + 1.0)))
       .as[TermStat]
 
-    Relations(docs, postings, docStats, termStats, corpus)
+    Relations(docs, postings, docStats, termStats, corpus, shardSize)
   }
 
-  /** Pass 2: encoded posting blocks, doc-range sharded.
-    * shardId = docId / shardSize; one range partition per shard.
+  /** Pass 2: encoded posting blocks — THE sort-merge shuffle of the north
+    * rule. Hash-exchange on the (shardId, term) GROUP key (never on docId:
+    * a group must not straddle a partition boundary or block boundaries
+    * become partition-layout-dependent and resume checksums drift), then
+    * in-partition sort by (shardId, term, docId) + streaming block encode.
+    * numShards >= 4x partitions keeps the shard->partition placement
+    * balanced.
     */
   def encodeBlocks(
       spark: SparkSession,
@@ -104,26 +151,17 @@ object IndexBuilder {
       cfg: Config = Config()
   ): Dataset[PostingBlock] = {
     import spark.implicits._
-    val shardSize = math.max(1L, (rel.corpus.docCount + cfg.numShards - 1) / cfg.numShards)
-    val k1 = cfg.params.k1
-    val b = cfg.params.b
-    val avgdl = rel.corpus.avgdl
     val blockSize = cfg.blockSize
+    val parts = if (cfg.encodePartitions > 0) cfg.encodePartitions
+      else spark.sparkContext.defaultParallelism
 
-    // hash-repartition on the (shardId, term) GROUP key — never on docId —
-    // so a group can never straddle a partition boundary: block boundaries
-    // are then a deterministic function of the group's sorted postings
-    // (required for resumable / checksum-stable builds). Group size is
-    // already bounded by the doc-range sharding (a head term's postings are
-    // split across all shards), so hash partitioning cannot hotspot.
     rel.postings
-      .withColumn("shardId", (col("docId") / shardSize).cast("int"))
-      .repartition(cfg.numShards, $"shardId", $"term")
+      .repartition(parts, $"shardId", $"term")
       .sortWithinPartitions($"shardId", $"term", $"docId")
       .select($"shardId", $"term", $"docId", $"tf", $"dl")
       .as[(Int, String, Long, Int, Int)]
       .mapPartitions { it =>
-        new BlockEncodeIterator(it.buffered, blockSize, k1, b, avgdl)
+        new BlockEncodeIterator(it.buffered, blockSize)
       }
   }
 
@@ -140,10 +178,7 @@ object IndexBuilder {
     */
   private final class BlockEncodeIterator(
       it: BufferedIterator[(Int, String, Long, Int, Int)],
-      blockSize: Int,
-      k1: Double,
-      b: Double,
-      avgdl: Double
+      blockSize: Int
   ) extends Iterator[PostingBlock] {
 
     private var curShard = -1
@@ -158,14 +193,15 @@ object IndexBuilder {
         curShard = shard; curTerm = term; blockIdx = 0
       }
       val buf = new scala.collection.mutable.ArrayBuffer[Codec.P](blockSize)
-      var maxPartial = 0.0
+      var maxTf = 0
+      var minDl = Int.MaxValue
       while (it.hasNext && buf.size < blockSize && {
           val h = it.head; h._1 == shard && h._2 == term
         }) {
         val (_, _, docId, tf, dl) = it.next()
         buf += Codec.P(docId, tf, dl)
-        val p = partial(tf, dl, k1, b, avgdl)
-        if (p > maxPartial) maxPartial = p
+        if (tf > maxTf) maxTf = tf
+        if (dl < minDl) minDl = dl
       }
       val block = PostingBlock(
         shardId = shard,
@@ -174,7 +210,8 @@ object IndexBuilder {
         minDocId = buf.head.docId,
         maxDocId = buf.last.docId,
         n = buf.size,
-        maxPartial = maxPartial,
+        maxTf = maxTf,
+        minDl = minDl,
         payload = Codec.encode(buf.toSeq)
       )
       blockIdx += 1

@@ -15,9 +15,10 @@ import graft.model._
   *   manifest.json          committed atomically (tmp + rename); absence of
   *                          "complete": true  =>  build in progress / crashed
   *   docs/                  (docId, conv_id, turn_idx, role, text, tool, ts)
-  *   docstats/              (docId, dl)
   *   termstats/             (term, df, idf)
-  *   blocks/shard-NNNNN/    encoded PostingBlock rows, one dir per shard
+  *                          (per-doc lengths live inside the block payloads;
+  *                          Relations.docStats derives them on demand)
+  *   blocks/shardId=K/      encoded PostingBlock rows (dynamic partitions)
   * ```
   *
   * Resumability (north rule "resumable from snapshot checkpoints with
@@ -34,6 +35,10 @@ import graft.model._
   * bm25_precompute.py:68-75) with no commit protocol at all.
   */
 object IndexStore {
+
+  /** Bumped whenever the on-disk block/manifest schema changes; loaders
+    * refuse (and callers rebuild) older layouts. */
+  val FormatVersion = 2
 
   final case class ShardLineage(
       shardId: Int,
@@ -77,7 +82,7 @@ object IndexStore {
     val metrics = m.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"snapshotId":"${esc(m.snapshotId)}","analyzer":"${esc(m.analyzer)}",
+      s"""{"formatVersion":$FormatVersion,"snapshotId":"${esc(m.snapshotId)}","analyzer":"${esc(m.analyzer)}",
          |"k1":${m.k1},"b":${m.b},"numShards":${m.numShards},"shardSize":${m.shardSize},
          |"blockSize":${m.blockSize},"docCount":${m.docCount},"avgdl":${m.avgdl},
          |"shards":$shards,"metrics":$metrics,"complete":${m.complete}}""".stripMargin
@@ -92,6 +97,7 @@ object IndexStore {
     val p = Paths.get(dir, "manifest.json")
     if (!Files.exists(p)) return None
     val s = Files.readString(p)
+    if (!s.contains(s""""formatVersion":$FormatVersion""")) return None
     def str(k: String) = s"""\"$k\":\"((?:[^\"\\\\]|\\\\.)*)\"""".r
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     def num(k: String) = s"""\"$k\":(-?[0-9.E+-]+)""".r
@@ -127,7 +133,12 @@ object IndexStore {
   final case class BuildResult(manifest: Manifest, dir: String)
 
   /** Full (or resumed) build of the on-disk index from a transcripts
-    * snapshot. `failAfterShards` injects a crash after N shard commits —
+    * snapshot.
+    *
+    * Shards are committed in batches of `commitBatchShards` (one dynamic-
+    * partition write job per batch; the manifest is atomically rewritten
+    * after each) — the knob trades checkpoint granularity against job
+    * overhead. `failAfterShards` injects a crash after N shard commits —
     * used by the resume test only.
     */
   def build(
@@ -136,6 +147,7 @@ object IndexStore {
       dir: String,
       snapshotId: String,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      commitBatchShards: Int = 256,
       failAfterShards: Option[Int] = None
   ): BuildResult = {
     import spark.implicits._
@@ -150,33 +162,59 @@ object IndexStore {
       case _ => Set.empty
     }
 
-    val rel = IndexBuilder.relations(spark, turns, cfg)
-    val shardSize = math.max(1L, (rel.corpus.docCount + cfg.numShards - 1) / cfg.numShards)
+    def now() = System.nanoTime()
+    val tRel0 = now()
+    val rel = IndexBuilder.relations(spark, turns, s"$dir/docs", cfg)
+    val relSec = (now() - tRel0) / 1e9
+    val shardSize = rel.shardSize
 
-    if (committed.isEmpty) {
-      rel.docs.write.mode("overwrite").parquet(s"$dir/docs")
-      rel.docStats.write.mode("overwrite").parquet(s"$dir/docstats")
-      rel.termStats.write.mode("overwrite").parquet(s"$dir/termstats")
-    }
+    // Independent jobs run CONCURRENTLY (Spark schedules them across the
+    // same executors): the docs/termstats writes and the encode+lineage
+    // aggregate share no dependency once the relations caches exist. On a
+    // real cluster this overlaps I/O-bound writes with the CPU-bound
+    // encode; sequential jobs would serialize per-job fixed latency.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
 
+    // fresh build (no committed shards): clear any stale block layout from
+    // an older format version or an abandoned different-snapshot build
+    if (committed.isEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/blocks"))
+
+    val tAux0 = now()
+    val auxF: Future[Unit] =
+      if (committed.isEmpty) Future {
+        rel.termStats.write.mode("overwrite").parquet(s"$dir/termstats")
+      }
+      else Future.successful(())
+
+    val tEnc0 = now()
     val blocks = IndexBuilder.encodeBlocks(spark, rel, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-shard lineage from one aggregate over the encoded blocks
-    val lineage: Map[Int, ShardLineage] = blocks
-      .groupBy($"shardId")
-      .agg(
-        sum($"n").as("postings"),
-        count(lit(1)).as("blocks"),
-        sum(length($"payload")).as("payloadBytes"),
-        // mask to 32 bits so the sum cannot overflow a long even at
-        // trillions of blocks (Spark 4 ANSI mode makes overflow fatal)
-        sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"))
-      .collect()
-      .map(r => r.getInt(0) -> ShardLineage(r.getInt(0), r.getLong(1),
-        r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toMap
+    val lineageF: Future[Map[Int, ShardLineage]] = Future {
+      blocks
+        .groupBy($"shardId")
+        .agg(
+          sum($"n").as("postings"),
+          count(lit(1)).as("blocks"),
+          sum(length($"payload")).as("payloadBytes"),
+          // mask to 32 bits so the sum cannot overflow a long even at
+          // trillions of blocks (Spark 4 ANSI mode makes overflow fatal)
+          sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"))
+        .collect()
+        .map(r => r.getInt(0) -> ShardLineage(r.getInt(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    }
+    val lineage = Await.result(lineageF, Duration.Inf)
+    val encodeSec = (now() - tEnc0) / 1e9
+    Await.result(auxF, Duration.Inf)
+    val auxSec = (now() - tAux0) / 1e9
 
+    val tCommit0 = now()
     val allShards = lineage.keys.toSeq.sorted
     var done: Seq[ShardLineage] =
       existing.map(_.shards.filter(s => lineage.contains(s.shardId))).getOrElse(Nil)
@@ -187,16 +225,28 @@ object IndexStore {
       cfg.numShards, shardSize, cfg.blockSize, rel.corpus.docCount,
       rel.corpus.avgdl, done.sortBy(_.shardId), metrics, complete)
 
-    allShards.filterNot(committed.contains).foreach { shard =>
+    val pending = allShards.filterNot(committed.contains)
+    pending.grouped(math.max(1, commitBatchShards)).foreach { batch =>
       failAfterShards.foreach { limit =>
         if (commitsThisRun >= limit)
           throw new RuntimeException(s"injected failure after $limit shard commits")
       }
-      blocks.filter($"shardId" === shard)
-        .sortWithinPartitions($"term", $"minDocId")
-        .write.mode("overwrite").parquet(f"$dir/blocks/shard-$shard%05d")
-      done :+= lineage(shard)
-      commitsThisRun += 1
+      // clear any partially-committed leftovers of an earlier crashed job
+      batch.foreach { s =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$dir/blocks/shardId=$s"))
+      }
+      // cluster by shardId first: without this every task writes a file
+      // into every shard dir (tasks x shards tiny files — measured as the
+      // dominant commit cost and a per-query scan tax afterwards)
+      val writeParts = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, batch.size))
+      blocks.filter($"shardId".isin(batch: _*))
+        .repartition(writeParts, $"shardId")
+        .sortWithinPartitions($"shardId", $"term", $"minDocId")
+        .write.mode("append").partitionBy("shardId").parquet(s"$dir/blocks")
+      done ++= batch.map(lineage)
+      commitsThisRun += batch.size
       writeManifest(dir, partialManifest(complete = false, Map.empty))
     }
 
@@ -206,6 +256,10 @@ object IndexStore {
     val skewRatio =
       if (perShard.isEmpty) 1.0 else perShard.max / (perShard.sum / perShard.size)
     val metrics = Map(
+      "relSec" -> relSec,
+      "auxWriteSec" -> auxSec,
+      "encodeSec" -> encodeSec,
+      "commitSec" -> (now() - tCommit0) / 1e9,
       "buildSec" -> buildSec,
       "turns" -> rel.corpus.docCount.toDouble,
       "turnsPerSec" -> rel.corpus.docCount / buildSec,
@@ -218,8 +272,100 @@ object IndexStore {
     val m = partialManifest(complete = true, metrics)
     writeManifest(dir, m)
     blocks.unpersist()
-    rel.postings.unpersist()
-    rel.docs.unpersist()
+    rel.unpersistAll()
+    BuildResult(m, dir)
+  }
+
+  // ---------------------------------------------------------------- append
+
+  /** Incremental snapshot append (SURVEY.md §7.6): new turns become delta
+    * postings whose docIds continue the base id space (ids of existing
+    * docs never move), encoded into the base's shard grid and unioned with
+    * the base blocks — a boundary shard simply gains extra block files
+    * whose docId ranges sort after the old ones. Corpus stats and term df
+    * are additive; idf is recomputed for the merged N. Block upper-bound
+    * metadata is (maxTf, minDl), valid under the shifted avgdl.
+    *
+    * Not crash-resumable mid-append in this version (the full build is);
+    * an interrupted append requires a rebuild.
+    */
+  def appendSnapshot(
+      spark: SparkSession,
+      newTurns: Dataset[Turn],
+      dir: String,
+      snapshotId: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): BuildResult = {
+    import spark.implicits._
+    val base = readManifest(dir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
+    require(base.complete, s"base index at $dir is incomplete")
+    require(base.analyzer == cfg.analyzer.fingerprint,
+      s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint}")
+
+    val deltaDocsDir = s"$dir/docs.delta"
+    val rel = IndexBuilder.relations(spark, newTurns, deltaDocsDir, cfg,
+      idOffset = base.docCount, fixedShardSize = Some(base.shardSize))
+
+    val blocks = IndexBuilder.encodeBlocks(spark, rel, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaLineage: Map[Int, ShardLineage] = blocks
+      .groupBy($"shardId")
+      .agg(sum($"n").as("postings"), count(lit(1)).as("blocks"),
+        sum(length($"payload")).as("payloadBytes"),
+        sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"))
+      .collect()
+      .map(r => r.getInt(0) -> ShardLineage(r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    blocks
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .write.mode("append").partitionBy("shardId").parquet(s"$dir/blocks")
+    rel.docs.write.mode("append").parquet(s"$dir/docs")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(deltaDocsDir))
+
+    // merged corpus stats: token totals are exact integers, so the combined
+    // avgdl is exact too
+    val nNew = base.docCount + rel.corpus.docCount
+    val totTokens = math.round(base.avgdl * base.docCount) +
+      math.round(rel.corpus.avgdl * rel.corpus.docCount)
+    val avgdlNew = if (nNew == 0) 0.0 else totTokens.toDouble / nNew
+
+    // merged term stats: df is additive; idf recomputed for the merged N.
+    // Written to a fresh dir + swap (Spark cannot overwrite its own input).
+    val baseTs = spark.read.parquet(s"$dir/termstats").select($"term", $"df")
+    val deltaTs = rel.postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val merged = baseTs.unionByName(deltaTs)
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
+    merged.write.mode("overwrite").parquet(s"$dir/termstats.new")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/termstats"))
+    Files.move(Paths.get(s"$dir/termstats.new"), Paths.get(s"$dir/termstats"))
+
+    val mergedLineage = (base.shards.map(s => s.shardId -> s).toMap.keySet ++ deltaLineage.keySet)
+      .toSeq.sorted.map { sid =>
+        val b0 = base.shards.find(_.shardId == sid)
+        val d = deltaLineage.get(sid)
+        ShardLineage(sid,
+          b0.map(_.postings).getOrElse(0L) + d.map(_.postings).getOrElse(0L),
+          b0.map(_.blocks).getOrElse(0L) + d.map(_.blocks).getOrElse(0L),
+          b0.map(_.payloadBytes).getOrElse(0L) + d.map(_.payloadBytes).getOrElse(0L),
+          b0.map(_.checksum).getOrElse(0L) + d.map(_.checksum).getOrElse(0L))
+      }
+    val perShard = mergedLineage.map(_.postings.toDouble)
+    val m = Manifest(snapshotId, cfg.analyzer.fingerprint, cfg.params.k1,
+      cfg.params.b, base.numShards, base.shardSize, cfg.blockSize,
+      nNew, avgdlNew, mergedLineage,
+      base.metrics ++ Map(
+        "appendedTurns" -> rel.corpus.docCount.toDouble,
+        "skewRatio" -> (if (perShard.isEmpty) 1.0
+          else perShard.max / (perShard.sum / perShard.size))),
+      complete = true)
+    writeManifest(dir, m)
+    blocks.unpersist()
+    rel.unpersistAll()
     BuildResult(m, dir)
   }
 
@@ -240,9 +386,11 @@ object IndexStore {
     val m = readManifest(dir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
     require(m.complete, s"index at $dir is incomplete (crashed build?) — resume it first")
-    val blocks = spark.read
-      .option("recursiveFileLookup", "true")
-      .parquet(s"$dir/blocks")
+    // shardId=K dynamic-partition layout: discovery restores shardId as an
+    // int column and prunes shard dirs on shardId predicates for free
+    val blocks = spark.read.parquet(s"$dir/blocks")
+      .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
+        $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"payload")
       .as[PostingBlock]
     Index(dir, m,
       blocks,

@@ -56,9 +56,14 @@ final case class CorpusStats(docCount: Long, avgdl: Double)
 
 /** One encoded posting block (<= blockSize postings of one (shard, term)
   * sub-list, docId-ascending). `payload` is the delta+varint encoding of
-  * (docId, tf, dl) triples; `maxPartial` is the block-max of the BM25
-  * term partial tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) used by block-max
-  * WAND as an upper bound (times idf).
+  * (docId, tf, dl) triples.
+  *
+  * `maxTf`/`minDl` are the block-max metadata: BM25's per-term partial
+  * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is monotone increasing in tf and
+  * decreasing in dl, so partial(maxTf, minDl) bounds every posting in the
+  * block for ANY avgdl. Storing the corpus-independent pair (instead of a
+  * baked-in partial) keeps old blocks' bounds exact after incremental
+  * snapshot appends shift avgdl.
   */
 final case class PostingBlock(
     shardId: Int,
@@ -67,7 +72,8 @@ final case class PostingBlock(
     minDocId: Long,
     maxDocId: Long,
     n: Int,
-    maxPartial: Double,
+    maxTf: Int,
+    minDl: Int,
     payload: Array[Byte]
 )
 

@@ -145,6 +145,13 @@ object Relational {
           col("l_linenumber").asc)
         .limit(20)),
 
+    // P12/P2 shape: semi-structured access — JSON field extraction from
+    // the events props column (nested access over a dynamic payload)
+    "p12_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
     // set op: UNION ALL (incremental snapshot merge shape, SURVEY §2.7)
     "u_union" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -210,6 +217,8 @@ object Relational {
     "t1_topk" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
         |FROM lineitem ORDER BY round(l_extendedprice, 2) DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "p12_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events",
     "u_union" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL

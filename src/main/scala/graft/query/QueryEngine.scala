@@ -62,7 +62,7 @@ object QueryEngine {
     val p = cfg.params
     val avgdl = rel.corpus.avgdl
 
-    rel.postings.toDF()
+    rel.postings
       .filter($"term".isin(qterms.map(_._1): _*))
       .join(broadcast(qdf), Seq("term"))
       .join(broadcast(rel.termStats.toDF()), Seq("term"))
@@ -132,9 +132,13 @@ object QueryEngine {
     val kk = k
     val qtsB = spark.sparkContext.broadcast(qts.sortBy(_.term))
 
+    // one task per core, several shards per task (scorePartition iterates
+    // shard groups); range partitioning keeps a shard's blocks together
+    val parts = math.max(1, math.min(cfg.numShards,
+      spark.sparkContext.defaultParallelism))
     val candidates = blocks
       .filter($"term".isin(names: _*))
-      .repartitionByRange(cfg.numShards, $"shardId")
+      .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         WandScorer.scorePartition(it.buffered, qtsB.value, kk, p.k1, p.b, avgdl)
@@ -149,12 +153,18 @@ object QueryEngine {
 
     final class Cursor(val term: String, val weight: Double,
         blocks: Array[PostingBlock], k1: Double, b: Double, avgdl: Double) {
-      // blocks are docId-sorted and non-overlapping within (shard, term)
+      // blocks are docId-sorted and non-overlapping within (shard, term).
+      // Upper bounds derive from (maxTf, minDl) with the CURRENT corpus
+      // avgdl: partial() is monotone up in tf, down in dl, so this bounds
+      // every posting even after incremental appends moved avgdl.
+      private def blockUb(i: Int): Double =
+        weight * graft.index.IndexBuilder.partial(
+          blocks(i).maxTf, blocks(i).minDl, k1, b, avgdl)
       val globalUb: Double = {
         var m = 0.0
         var i = 0
-        while (i < blocks.length) { if (blocks(i).maxPartial > m) m = blocks(i).maxPartial; i += 1 }
-        weight * m
+        while (i < blocks.length) { val u = blockUb(i); if (u > m) m = u; i += 1 }
+        m
       }
       private var bi = 0
       private var decoded: Array[Codec.P] = Codec.decode(blocks(0).payload, blocks(0).n)
@@ -162,7 +172,7 @@ object QueryEngine {
       var exhausted: Boolean = false
 
       def curDoc: Long = decoded(pi).docId
-      def curBlockUb: Double = weight * blocks(bi).maxPartial
+      def curBlockUb: Double = blockUb(bi)
 
       def currentContribution(): Double =
         weight * (decoded(pi).tf * (k1 + 1.0) /

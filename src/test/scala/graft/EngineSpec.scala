@@ -22,7 +22,8 @@ class EngineSpec extends AnyFunSuite {
   private val cfg = IndexBuilder.Config(docIdPartitions = 8, numShards = 8)
   private lazy val turns = TranscriptGen.turns(seed = 42, nConvs = 80)
   private lazy val turnsDs = spark.createDataset(turns)
-  private lazy val rel = IndexBuilder.relations(spark, turnsDs, cfg)
+  private lazy val rel = IndexBuilder.relations(spark, turnsDs,
+    Files.createTempDirectory("graft-docs").toString, cfg)
   private lazy val oracle = OracleBM25.corpus(turns, cfg.analyzer)
 
   private val queries = Seq(
@@ -92,9 +93,11 @@ class EngineSpec extends AnyFunSuite {
   test("sharded sub-lists concatenate to the globally sorted posting list") {
     val blocks = index.blocks.collect()
     val byTerm = blocks.groupBy(_.term)
-    val postings = rel.postings.collect()
-    val wantByTerm = postings.groupBy(_.term).view
-      .mapValues(_.map(p => (p.docId, p.tf)).sortBy(_._1).toSeq).toMap
+    val postings = rel.postings
+      .select("term", "docId", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val wantByTerm = postings.groupBy(_._1).view
+      .mapValues(_.map(p => (p._2, p._3)).sortBy(_._1).toSeq).toMap
     byTerm.foreach { case (term, bs) =>
       val got = bs.sortBy(b => (b.shardId, b.minDocId))
         .flatMap(b => Codec.decode(b.payload, b.n))
@@ -130,7 +133,7 @@ class EngineSpec extends AnyFunSuite {
     // crashed build
     intercept[RuntimeException] {
       IndexStore.build(spark, turnsDs, dirA, snapshotId = "snap1", cfg,
-        failAfterShards = Some(3))
+        commitBatchShards = 1, failAfterShards = Some(3))
     }
     val partial = IndexStore.readManifest(dirA)
     assert(partial.exists(!_.complete))

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexBuilder
+import graft.query.QueryEngine
+import TestKit.spark
+
+/** Physical-plan shape assertions (the "would this survive 100x" checks):
+  * filters/pruning reach the parquet scan, small sides broadcast, the
+  * postings relation stays narrow, top-k plans as TakeOrderedAndProject.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("P1: filter and column pruning reach the parquet scan") {
+    val p = plan(graft.operators.Relational.queries("p1_select_prune")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_quantity"), "scan reads pruned columns:\n" + p)
+  }
+
+  test("J3: tiny top-k side is broadcast for decoration") {
+    val p = plan(graft.operators.Relational.queries("j3_topk_decorate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("postings relation is narrow over the docId sort (no extra exchange)") {
+    import spark.implicits._
+    val turns = spark.createDataset(TestKit.TranscriptGen.turns(seed = 5, nConvs = 10))
+    val cfg = IndexBuilder.Config(docIdPartitions = 4, numShards = 8)
+    val rel = IndexBuilder.relations(spark, turns,
+      java.nio.file.Files.createTempDirectory("graft-docs").toString, cfg)
+    // postings read from the persisted relation: its plan is a cache scan,
+    // and the pre-persist plan contains no Exchange beyond DocIds' sort
+    val p = plan(rel.postings)
+    assert(p.contains("InMemoryTableScan") || !p.contains("Exchange"),
+      "postings recomputed with an exchange:\n" + p)
+    rel.unpersistAll()
+  }
+
+  test("exhaustive top-k plans as TakeOrderedAndProject with broadcast stats") {
+    import spark.implicits._
+    val turns = spark.createDataset(TestKit.TranscriptGen.turns(seed = 6, nConvs = 10))
+    val cfg = IndexBuilder.Config(docIdPartitions = 4, numShards = 8)
+    val rel = IndexBuilder.relations(spark, turns,
+      java.nio.file.Files.createTempDirectory("graft-docs").toString, cfg)
+    val p = plan(QueryEngine.exhaustiveTopK(spark, rel, "term0000 term0001", 10, cfg))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    rel.unpersistAll()
+  }
+
+  test("WAND block scan pushes the term predicate to parquet") {
+    val idx = SparkEntry.index(spark, dir)
+    import spark.implicits._
+    val p = plan(idx.blocks.filter($"term".isin("data", "spark")).toDF())
+    assert(p.contains("PushedFilters: [In(term"), p)
+  }
+}
