@@ -112,14 +112,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "6000000").toLong
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "2000000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
 
     // ---- scaling evidence: same input, 8 vs 32 threads ----
     // Alternating rounds, best-of per level: this sandbox VM's wall-clock
     // noise is 2-3x run-to-run, and whichever level runs last inherits a
     // fully JIT-warmed JVM — alternation + best-of removes both biases.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val runs: Seq[(Int, (Double, Seq[Double]))] =
       (1 to rounds).flatMap { _ =>
         Seq(32 -> buildAndQuery(32, nTurns, reps), 8 -> buildAndQuery(8, nTurns, reps))
@@ -141,7 +141,10 @@ object Bench {
     }
     spark.stop()
 
-    val entries: Seq[(String, Double)] = Seq(
+    val rawRuns = runs.zipWithIndex.map { case ((c, (sec, _)), i) =>
+      s"build_run${i}_local$c" -> sec
+    }
+    val entries: Seq[(String, Double)] = rawRuns ++ Seq(
       "build_turns" -> nTurns.toDouble,
       "build_local8_sec" -> build8,
       "build_local32_sec" -> build32,
