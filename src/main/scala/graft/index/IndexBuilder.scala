@@ -88,9 +88,21 @@ object IndexBuilder {
     * grid. The returned `corpus`/`termStats` then describe the DELTA only
     * (the append path merges them with the base's).
     */
-  def relations(spark: SparkSession, turns: Dataset[Turn], docsDir: String,
+  /** Pass-1 skeleton shared by relations() (test/verify scale, postings
+    * cached) and IndexStore.build (production path, postings stream through
+    * the encode shuffle ONCE, uncached — corpus/term stats are then derived
+    * from the ~100x-smaller encoded blocks).
+    */
+  final case class Prepared(
+      docs: Dataset[Doc],
+      postings: DataFrame, // (shardId, term, docId, tf, dl) — LAZY, narrow
+      n: Long,
+      shardSize: Long
+  )
+
+  def prepare(spark: SparkSession, turns: Dataset[Turn], docsDir: String,
       cfg: Config = Config(),
-      idOffset: Long = 0L, fixedShardSize: Option[Long] = None): Relations = {
+      idOffset: Long = 0L, fixedShardSize: Option[Long] = None): Prepared = {
     import spark.implicits._
     val assigned = DocIds.assignWithCount(spark, indexableTurns(turns),
       cfg.docIdPartitions, idOffset)
@@ -113,7 +125,18 @@ object IndexBuilder {
       .select($"shardId", $"docId", size($"toks").as("dl"),
         explode(graft.plans.TermFreqs($"toks")).as(Seq("term", "tf")))
       .select($"shardId", $"term", $"docId", $"tf", $"dl")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    Prepared(docs, postings, n, shardSize)
+  }
+
+  def relations(spark: SparkSession, turns: Dataset[Turn], docsDir: String,
+      cfg: Config = Config(),
+      idOffset: Long = 0L, fixedShardSize: Option[Long] = None): Relations = {
+    import spark.implicits._
+    val p0 = prepare(spark, turns, docsDir, cfg, idOffset, fixedShardSize)
+    val n = p0.n
+    val shardSize = p0.shardSize
+    val docs = p0.docs
+    val postings = p0.postings.persist(StorageLevel.MEMORY_AND_DISK)
 
     // dl for every doc, including token-less ones (dl = 0), derived from
     // the postings — NOT a second tokenize pass over the corpus.
@@ -149,13 +172,19 @@ object IndexBuilder {
       spark: SparkSession,
       rel: Relations,
       cfg: Config = Config()
+  ): Dataset[PostingBlock] = encodePostings(spark, rel.postings, cfg)
+
+  def encodePostings(
+      spark: SparkSession,
+      postings: DataFrame,
+      cfg: Config = Config()
   ): Dataset[PostingBlock] = {
     import spark.implicits._
     val blockSize = cfg.blockSize
     val parts = if (cfg.encodePartitions > 0) cfg.encodePartitions
       else spark.sparkContext.defaultParallelism
 
-    rel.postings
+    postings
       .repartition(parts, $"shardId", $"term")
       .sortWithinPartitions($"shardId", $"term", $"docId")
       .select($"shardId", $"term", $"docId", $"tf", $"dl")
@@ -195,6 +224,7 @@ object IndexBuilder {
       val buf = new scala.collection.mutable.ArrayBuffer[Codec.P](blockSize)
       var maxTf = 0
       var minDl = Int.MaxValue
+      var sumTf = 0L
       while (it.hasNext && buf.size < blockSize && {
           val h = it.head; h._1 == shard && h._2 == term
         }) {
@@ -202,6 +232,7 @@ object IndexBuilder {
         buf += Codec.P(docId, tf, dl)
         if (tf > maxTf) maxTf = tf
         if (dl < minDl) minDl = dl
+        sumTf += tf
       }
       val block = PostingBlock(
         shardId = shard,
@@ -212,6 +243,7 @@ object IndexBuilder {
         n = buf.size,
         maxTf = maxTf,
         minDl = minDl,
+        sumTf = sumTf,
         payload = Codec.encode(buf.toSeq)
       )
       blockIdx += 1

@@ -38,7 +38,7 @@ object IndexStore {
 
   /** Bumped whenever the on-disk block/manifest schema changes; loaders
     * refuse (and callers rebuild) older layouts. */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   final case class ShardLineage(
       shardId: Int,
@@ -98,8 +98,25 @@ object IndexStore {
     if (!Files.exists(p)) return None
     val s = Files.readString(p)
     if (!s.contains(s""""formatVersion":$FormatVersion""")) return None
+    def unesc(v: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        val c = v(i)
+        if (c == '\\' && i + 1 < v.length) {
+          v(i + 1) match {
+            case 'u' => sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case o => sb.append(o); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     def str(k: String) = s"""\"$k\":\"((?:[^\"\\\\]|\\\\.)*)\"""".r
-      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      .findFirstMatchIn(s).map(m => unesc(m.group(1))).getOrElse("")
     def num(k: String) = s"""\"$k\":(-?[0-9.E+-]+)""".r
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("0")
     val shardRe =
@@ -164,15 +181,17 @@ object IndexStore {
 
     def now() = System.nanoTime()
     val tRel0 = now()
-    val rel = IndexBuilder.relations(spark, turns, s"$dir/docs", cfg)
+    // pass 1: docIds + docs checkpoint. The postings relation stays LAZY —
+    // it streams through the encode shuffle exactly once, uncached: caching
+    // the 25N-row postings saturates memory bandwidth long before the CPUs
+    // (measured: the 32-thread build was capped at the 8-thread build's
+    // bandwidth ceiling). Corpus/term stats are derived from the encoded
+    // blocks, which are ~100x smaller.
+    val p0 = IndexBuilder.prepare(spark, turns, s"$dir/docs", cfg)
+    val n = p0.n
+    val shardSize = p0.shardSize
     val relSec = (now() - tRel0) / 1e9
-    val shardSize = rel.shardSize
 
-    // Independent jobs run CONCURRENTLY (Spark schedules them across the
-    // same executors): the docs/termstats writes and the encode+lineage
-    // aggregate share no dependency once the relations caches exist. On a
-    // real cluster this overlaps I/O-bound writes with the CPU-bound
-    // encode; sequential jobs would serialize per-job fixed latency.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -182,37 +201,44 @@ object IndexStore {
     if (committed.isEmpty)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/blocks"))
 
+    val tEnc0 = now()
+    val blocks = IndexBuilder.encodePostings(spark, p0.postings, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-shard lineage + corpus token total from ONE aggregate over the
+    // encoded blocks (this job also materializes the blocks cache)
+    val lineageRows = blocks
+      .groupBy($"shardId")
+      .agg(
+        sum($"n").as("postings"),
+        count(lit(1)).as("blocks"),
+        sum(length($"payload")).as("payloadBytes"),
+        // mask to 32 bits so the sum cannot overflow a long even at
+        // trillions of blocks (Spark 4 ANSI mode makes overflow fatal)
+        sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"),
+        sum($"sumTf").as("sumTf"))
+      .collect()
+    val lineage: Map[Int, ShardLineage] = lineageRows
+      .map(r => r.getInt(0) -> ShardLineage(r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val totalTokens = lineageRows.map(_.getLong(5)).sum
+    val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+    val corpus = CorpusStats(n, avgdl)
+    val encodeSec = (now() - tEnc0) / 1e9
+
+    // term stats from the blocks cache (df = Σ block n per term), written
+    // CONCURRENTLY with the shard commits below — independent jobs over the
+    // same cache
     val tAux0 = now()
     val auxF: Future[Unit] =
       if (committed.isEmpty) Future {
-        rel.termStats.write.mode("overwrite").parquet(s"$dir/termstats")
+        blocks.groupBy($"term")
+          .agg(sum($"n").as("df"))
+          .withColumn("idf", log((lit(n) + 1.0) / ($"df" + 1.0)))
+          .write.mode("overwrite").parquet(s"$dir/termstats")
       }
       else Future.successful(())
-
-    val tEnc0 = now()
-    val blocks = IndexBuilder.encodeBlocks(spark, rel, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // per-shard lineage from one aggregate over the encoded blocks
-    val lineageF: Future[Map[Int, ShardLineage]] = Future {
-      blocks
-        .groupBy($"shardId")
-        .agg(
-          sum($"n").as("postings"),
-          count(lit(1)).as("blocks"),
-          sum(length($"payload")).as("payloadBytes"),
-          // mask to 32 bits so the sum cannot overflow a long even at
-          // trillions of blocks (Spark 4 ANSI mode makes overflow fatal)
-          sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"))
-        .collect()
-        .map(r => r.getInt(0) -> ShardLineage(r.getInt(0), r.getLong(1),
-          r.getLong(2), r.getLong(3), r.getLong(4)))
-        .toMap
-    }
-    val lineage = Await.result(lineageF, Duration.Inf)
-    val encodeSec = (now() - tEnc0) / 1e9
-    Await.result(auxF, Duration.Inf)
-    val auxSec = (now() - tAux0) / 1e9
 
     val tCommit0 = now()
     val allShards = lineage.keys.toSeq.sorted
@@ -222,8 +248,8 @@ object IndexStore {
 
     def partialManifest(complete: Boolean, metrics: Map[String, Double]) = Manifest(
       snapshotId, cfg.analyzer.fingerprint, cfg.params.k1, cfg.params.b,
-      cfg.numShards, shardSize, cfg.blockSize, rel.corpus.docCount,
-      rel.corpus.avgdl, done.sortBy(_.shardId), metrics, complete)
+      cfg.numShards, shardSize, cfg.blockSize, corpus.docCount,
+      corpus.avgdl, done.sortBy(_.shardId), metrics, complete)
 
     val pending = allShards.filterNot(committed.contains)
     pending.grouped(math.max(1, commitBatchShards)).foreach { batch =>
@@ -250,6 +276,8 @@ object IndexStore {
       writeManifest(dir, partialManifest(complete = false, Map.empty))
     }
 
+    Await.result(auxF, Duration.Inf)
+    val auxSec = (now() - tAux0) / 1e9
     val buildSec = (System.nanoTime() - t0) / 1e9
     val totalPostings = lineage.values.map(_.postings).sum.toDouble
     val perShard = lineage.values.map(_.postings.toDouble)
@@ -261,8 +289,8 @@ object IndexStore {
       "encodeSec" -> encodeSec,
       "commitSec" -> (now() - tCommit0) / 1e9,
       "buildSec" -> buildSec,
-      "turns" -> rel.corpus.docCount.toDouble,
-      "turnsPerSec" -> rel.corpus.docCount / buildSec,
+      "turns" -> corpus.docCount.toDouble,
+      "turnsPerSec" -> corpus.docCount / buildSec,
       "postings" -> totalPostings,
       "postingsPerSec" -> totalPostings / buildSec,
       "bytesRaw" -> totalPostings * 16, // uncompressed (docId 8B + tf 4B + dl 4B)
@@ -272,7 +300,6 @@ object IndexStore {
     val m = partialManifest(complete = true, metrics)
     writeManifest(dir, m)
     blocks.unpersist()
-    rel.unpersistAll()
     BuildResult(m, dir)
   }
 
@@ -390,7 +417,7 @@ object IndexStore {
     // int column and prunes shard dirs on shardId predicates for free
     val blocks = spark.read.parquet(s"$dir/blocks")
       .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
-        $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"payload")
+        $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf", $"payload")
       .as[PostingBlock]
     Index(dir, m,
       blocks,

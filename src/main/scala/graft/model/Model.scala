@@ -74,6 +74,9 @@ final case class PostingBlock(
     n: Int,
     maxTf: Int,
     minDl: Int,
+    sumTf: Long, // total token occurrences in the block: corpus stats (df,
+    // avgdl) are derived from the ~100x-smaller blocks relation instead of
+    // caching the raw 25N-row postings
     payload: Array[Byte]
 )
 

@@ -14,11 +14,12 @@ object DebugScale {
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try {
-        val dir = s"/tmp/graft-scale-$cpus"
+        val dir = s"/dev/shm/graft-scale-$cpus"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         val cfg = IndexBuilder.Config(numShards = 128, docIdPartitions = cpus)
         val t0 = System.nanoTime()
@@ -28,14 +29,16 @@ object DebugScale {
     }
     val results = scala.collection.mutable.Map.empty[Int, List[Double]].withDefaultValue(Nil)
     (1 to rounds).foreach { r =>
-      Seq(32, 8).foreach { c =>
+      Seq(args.lift(2).map(_.toInt).getOrElse(32), args.lift(3).map(_.toInt).getOrElse(8)).foreach { c =>
         val sec = build(c)
         results(c) ::= sec
         println(f"SCALE round=$r cpus=$c sec=$sec%.1f tps=${n / sec}%.0f")
       }
     }
-    val best32 = results(32).min
-    val best8 = results(8).min
-    println(f"SCALE best8=$best8%.1f best32=$best32%.1f efficiency=${(n / best32) / (4.0 * (n / best8))}%.3f")
+    val hi = args.lift(2).map(_.toInt).getOrElse(32)
+    val lo = args.lift(3).map(_.toInt).getOrElse(8)
+    val bestHi = results(hi).min
+    val bestLo = results(lo).min
+    println(f"SCALE best$lo=$bestLo%.1f best$hi=$bestHi%.1f efficiency=${(n / bestHi) / (4.0 * (n / bestLo))}%.3f")
   }
 }
