@@ -95,7 +95,7 @@ object QueryEngine {
   // ---------------------------------------------------------------- WAND
 
   /** Query-term state passed to executors: weight = qtf * idf. */
-  private final case class QTerm(term: String, weight: Double)
+  private[query] final case class QTerm(term: String, weight: Double)
 
   /** Block-max WAND top-k over encoded blocks.
     *
@@ -271,6 +271,14 @@ object QueryEngine {
           live.clear() // nothing remaining can beat theta
         } else {
           val pivotDoc = sorted(pivotIdx).curDoc
+          // extend the pivot across docId ties: cursors beyond the first
+          // index whose prefix UB beats theta can sit at pivotDoc too, and
+          // the block-max bound below must cover EVERY cursor positioned at
+          // pivotDoc or the skip branch silently drops a doc whose true
+          // score (including the tied terms) exceeds theta (Ding & Suel's
+          // BMW / Lucene pivot semantics)
+          while (pivotIdx + 1 < sorted.length && sorted(pivotIdx + 1).curDoc == pivotDoc)
+            pivotIdx += 1
           if (sorted.head.curDoc == pivotDoc) {
             // block-max refinement: tighten with current-block ubs
             var blockAcc = 0.0

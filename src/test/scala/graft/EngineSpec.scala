@@ -162,6 +162,32 @@ class EngineSpec extends AnyFunSuite {
     assert(m("skewRatio") >= 1.0 && m("skewRatio") < 3.0, s"skew ${m("skewRatio")}")
   }
 
+  test("WAND exact under multi-block lists + docId ties (tie-extended pivot)") {
+    // Regression for the block-max skip on ties: with a tiny vocabulary
+    // nearly every document carries every query term (cursors tie on the
+    // pivot constantly) and blockSize=4 forces many blocks per (shard,term)
+    // with curBlockUb < globalUb — the exact regime where summing only the
+    // prefix cursors' block bounds (instead of ALL cursors at the pivot)
+    // lets a true top-k doc be skipped.
+    (1 to 10).foreach { seed =>
+      val t = TranscriptGen.turns(seed = seed * 77L, nConvs = 30, vocabSize = 12)
+      val ds = spark.createDataset(t)
+      val c = IndexBuilder.Config(docIdPartitions = 2, numShards = 2, blockSize = 4)
+      val o = OracleBM25.corpus(t, c.analyzer)
+      val dir = Files.createTempDirectory(s"graft-tie-$seed").toString
+      IndexStore.build(spark, ds, dir, snapshotId = s"tie$seed", c)
+      val idx = IndexStore.load(spark, dir)
+      Seq("term0000 term0001 term0002 term0003", "term0001 term0002").foreach { q =>
+        Seq(1, 2, 5).foreach { k =>
+          val want = OracleBM25.topK(o, q, k, c.analyzer)
+          val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+            idx.corpus, q, k, c).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(got == want, s"seed=$seed q=[$q] k=$k")
+        }
+      }
+    }
+  }
+
   test("WAND on randomized small corpora matches oracle (property)") {
     (1 to 8).foreach { seed =>
       val t = TranscriptGen.turns(seed = seed * 1000L, nConvs = 12, vocabSize = 40)
