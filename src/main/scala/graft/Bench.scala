@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -147,23 +149,35 @@ object Bench {
     }
     spark.stop()
 
+    // Raw per-run times go to a SEPARATE line: the final metric line must
+    // stay small enough to survive the driver's stdout tail buffer intact
+    // (round 1's one fat line truncated and parsed as null).
     val rawRuns = runs.zipWithIndex.map { case ((c, (sec, _)), i) =>
       s"build_run${i}_local$c" -> sec
     }
-    val entries: Seq[(String, Double)] = rawRuns ++ Seq(
-      "build_turns" -> nTurns.toDouble,
-      s"build_local${lo}_sec" -> buildLo,
-      s"build_local${hi}_sec" -> buildHi,
-      s"turns_per_sec_local$lo" -> thrLo,
-      s"turns_per_sec_local$hi" -> thrHi,
-      s"scaling_efficiency_${lo}_to_$hi" -> eff,
-      s"query_p50_local${lo}_sec" -> p(latsLo, 0.50),
-      s"query_p95_local${lo}_sec" -> p(latsLo, 0.95),
-      s"query_p50_local${hi}_sec" -> p(latsHi, 0.50),
-      s"query_p95_local${hi}_sec" -> p(latsHi, 0.95)
-    ) ++ perQuery
+    println(rawRuns.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("""{"bench_raw_runs":{""", ",", "}}"))
+
+    def r3(v: Double): String = f"$v%.3f"
+    val entries: Seq[(String, String)] = Seq(
+      "build_turns" -> nTurns.toString,
+      s"build_local${lo}_sec" -> r3(buildLo),
+      s"build_local${hi}_sec" -> r3(buildHi),
+      s"turns_per_sec_local$lo" -> f"$thrLo%.0f",
+      s"turns_per_sec_local$hi" -> f"$thrHi%.0f",
+      s"scaling_efficiency_${lo}_to_$hi" -> r3(eff),
+      s"query_p50_local${lo}_sec" -> r3(p(latsLo, 0.50)),
+      s"query_p95_local${lo}_sec" -> r3(p(latsLo, 0.95)),
+      s"query_p50_local${hi}_sec" -> r3(p(latsHi, 0.50)),
+      s"query_p95_local${hi}_sec" -> r3(p(latsHi, 0.95))
+    ) ++ perQuery.map { case (k, v) => k -> r3(v) }
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = buildHi + perQuery.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"index-build turns/sec + BM25 query p95 at N vs 4N parallelism","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"build turns/sec + query p95, N vs 4N","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // also drop it in a well-known file so a truncated stdout capture is
+    // never the only record
+    Files.writeString(java.nio.file.Paths.get("bench_result.json"), line + "\n")
+    println(line) // final stdout line, parse-friendly
   }
 }

@@ -110,7 +110,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     engineOracles ++ graft.operators.Relational.oracles ++
-      graft.operators.TrainingData.oracles
+      graft.operators.TrainingData.oracles ++ graft.operators.Multimodal.oracles
 
   // ------------------------------------------------------- engine queries
 

@@ -34,20 +34,24 @@ object Multimodal {
   /** STUB decoder: deterministic pseudo-metadata/features from the payload
     * bytes. A real implementation would decode the container here; the
     * interface (init once per partition, decode per batch row) is the
-    * production shape.
+    * production shape. The pseudo-values derive from a 60-bit prefix of
+    * md5(payload) so the driver's DuckDB oracle can recompute them exactly
+    * (md5 + integer shifts + one float division are engine-portable).
     */
   final class StubDecoder {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+
     def decode(media: Array[Byte]): (MediaMeta, Array[Float]) = {
-      var h = 1125899906842597L // deterministic FNV-ish rolling hash
-      var i = 0
-      while (i < media.length) { h = 31 * h + (media(i) & 0xff); i += 1 }
+      md.reset()
+      val hex = md.digest(media).take(8).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, >= 0
       val meta = MediaMeta(
-        width = 64 + math.floorMod(h, 1024).toInt,
-        height = 64 + math.floorMod(h >>> 16, 1024).toInt,
-        frames = 1 + math.floorMod(h >>> 32, 240).toInt,
-        durationMs = math.floorMod(h >>> 24, 600000L))
+        width = (64 + h % 1024).toInt,
+        height = (64 + (h >>> 16) % 1024).toInt,
+        frames = (1 + (h >>> 32) % 240).toInt,
+        durationMs = (h >>> 24) % 600000L)
       val feats = Array.tabulate(8)(d =>
-        (math.floorMod(h >>> (d * 7), 1000003L).toFloat / 1000003.0f) * 2f - 1f)
+        (((h >>> (d * 7)) % 1000003L).toDouble / 1000003.0 * 2.0 - 1.0).toFloat)
       (meta, feats)
     }
   }
@@ -81,11 +85,36 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // rows-only check: features are hash-stub-derived (no SQL twin), but
-    // determinism + schema are asserted in MultimodalSpec
-    "mm_features" -> ((s, dir) =>
-      extractFeatures(mediaTable(s, dir)).toDF()
-        .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
-          col("height"), col("frames"), col("features")))
+    // full DuckDB oracle: the stub's md5-derived values are recomputable in
+    // SQL; features are emitted as per-element rounded doubles (the raw
+    // float array would break the harness's pandas sort)
+    "mm_features" -> ((s, dir) => {
+      val f = extractFeatures(mediaTable(s, dir)).toDF()
+      val featCols = (0 until 8).map(d =>
+        round(element_at(col("features"), d + 1).cast("double"), 6).as(s"f$d"))
+      f.select(Seq(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
+        col("height"), col("frames")) ++ featCols: _*)
+    })
   )
+
+  def oracles: Map[String, String] = {
+    val featCols = (0 until 8).map(d =>
+      s"round(CAST(CAST(((h >> ${d * 7}) % 1000003) / 1000003.0 * 2 - 1 AS REAL) AS DOUBLE), 6) AS f$d")
+      .mkString(",\n  ")
+    Map(
+      "mm_features" ->
+        s"""WITH m AS (SELECT doc_id,
+           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+           |         WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+           |    strlen(text) AS n_bytes,
+           |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+           |  FROM documents)
+           |SELECT doc_id, mime, CAST(n_bytes AS INT) AS n_bytes,
+           |  CAST(64 + h % 1024 AS INT) AS width,
+           |  CAST(64 + (h >> 16) % 1024 AS INT) AS height,
+           |  CAST(1 + (h >> 32) % 240 AS INT) AS frames,
+           |  $featCols
+           |FROM m""".stripMargin
+    )
+  }
 }

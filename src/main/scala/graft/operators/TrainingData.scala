@@ -11,18 +11,36 @@ import graft.functions.Analyzer
   * and text analysis (language heuristic, quality scoring, token counts,
   * fingerprinting).
   *
-  * Everything that is SQL-expressible carries an exact DuckDB oracle;
-  * hash-sketch operators (MinHash/SimHash/LSH buckets) use Spark's
-  * xxhash64 (no DuckDB twin) and are verified structurally in ScalaTest
-  * plus rows-only by the driver. The MinHash-LSH candidates are
-  * post-verified with the exact Jaccard the `dedup_ngram_jaccard` oracle
-  * pins, so the approximate path can only lose recall, never precision.
+  * Every operator here — including the sketches — carries an exact DuckDB
+  * oracle: all sketch hashes are md5-derived (min of a hex prefix for
+  * MinHash, hex-digit parity bits for SimHash signatures and random
+  * hyperplane signs), which both engines compute identically, so the
+  * driver's hash-match gate covers the full pipeline, not just the
+  * SQL-friendly parts. `TrainingDataSpec` adds the semantic checks an
+  * equality oracle can't express: LSH recall against the exact-Jaccard
+  * ground truth, SimHash signatures against a scalar reimplementation, ANN
+  * recall against brute-force cosine, and the scale guards under
+  * pathological (all-duplicates / stop-shingle) corpora.
+  *
+  * Scale guards (the 100 TB shapes, exercised with small limits in tests;
+  * the driver queries use limits that are deliberately no-ops at verify
+  * scale so the plain SQL oracle stays exact):
+  *   - shingle df cap ([[MaxShingleDf]]): a stop-shingle shared by 10^6
+  *     docs would explode the inverted-index pair join quadratically;
+  *     shingles above the cap are dropped from the shingle SETS (like
+  *     stopword removal — deterministic, applied identically in the
+  *     oracle), standard MinHashLSH practice.
+  *   - bucket cap ([[BucketCap]]): LSH band buckets and SimHash chunk
+  *     buckets are quadratic in bucket size; buckets above the cap switch
+  *     from all-pairs to hub pairs (every member against the bucket's
+  *     min doc_id) — linear, and still links a giant near-duplicate
+  *     cluster into one connected component for dedup purposes.
   */
 object TrainingData {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def embTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Raw token stream (no stopwords) as a Column — shared by shingling,
@@ -30,160 +48,242 @@ object TrainingData {
     */
   private def toks(c: Column): Column = Analyzer.tokensCol(c, Analyzer.noStopwords)
 
-  /** (doc_id, shingle) distinct 3-gram shingles. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  val JaccardThreshold = 0.6
+  /** Shingles appearing in more docs than this are dropped from shingle
+    * sets (no-op at verify scale: the sf0.01 corpus has 500 docs). */
+  val MaxShingleDf = 1000L
+  /** LSH/SimHash buckets larger than this use hub pairs instead of
+    * all-pairs (no-op at verify scale). */
+  val BucketCap = 1000000L
+  val MinhashHashes = 16
+  val MinhashBands = 8 // 2 rows per band
+  val AnnPlanes = 4
+  val AnnProbeHamming = 1 // multi-probe: query bucket + all 1-bit neighbors
+
+  private val OddHexDigits = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+
+  // --------------------------------------------------------------- shingles
+
+  /** (doc_id, shingle): distinct 3-gram shingles, df-capped. */
+  def shingleSets(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    val sh0 = docs
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
         .as("sh"))
       .distinct()
+    val good = sh0.groupBy(col("sh")).agg(count(lit(1)).as("shdf"))
+      .filter(col("shdf") <= maxDf).select(col("sh"))
+    sh0.join(good, Seq("sh"), "left_semi")
+  }
 
-  private val JaccardThreshold = 0.6
+  // ---------------------------------------------------------- bounded pairs
+
+  /** Candidate pairs from a bucket self-join with a quadratic-blowup guard:
+    * buckets of <= cap members produce all pairs (id_a < id_b); larger
+    * buckets produce hub pairs (bucket-min id against each other member) —
+    * O(bucket) instead of O(bucket^2).
+    */
+  def boundedPairs(items: DataFrame, keys: Seq[String], idCol: String,
+      cap: Long = BucketCap): DataFrame = {
+    val stats = items.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bkt_n"), min(col(idCol)).as("bkt_hub"))
+    val withN = items.join(stats, keys)
+    val small = withN.filter(col("bkt_n") <= cap).select(col(idCol) +: keys.map(col): _*)
+    val allPairs = small.as("x").join(small.as("y"), keys)
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val hubPairs = withN.filter(col("bkt_n") > cap && col(idCol) =!= col("bkt_hub"))
+      .select(col("bkt_hub").as("id_a"), col(idCol).as("id_b"))
+    allPairs.union(hubPairs).distinct()
+  }
+
+  // ----------------------------------------------------------- exact Jaccard
+
+  /** Exact Jaccard over shingle sets for the given candidate pairs
+    * (left-semi pruned), thresholded. Precision of any LSH path is exact by
+    * construction — only recall is approximate.
+    */
+  def exactJaccardPairs(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+    val joined = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+    val pruned = candidates.fold(joined)(c => joined.join(c, Seq("id_a", "id_b"), "left_semi"))
+    pruned
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame =
+    exactJaccardPairs(shingleSets(docs, maxDf).persist(), None)
+
+  // --------------------------------------------------------------- MinHash
+
+  /** MinHash + banded LSH near-dup pairs: 16 md5-derived min-hashes
+    * (hash_i(sh) = first 16 hex chars of md5("i|" || sh), minimized as a
+    * string — fixed-width lowercase hex, so string min == numeric min), 8
+    * bands of 2 rows, candidates from the band-bucket self-join (bounded),
+    * post-verified with exact Jaccard at the oracle's threshold. Recall is
+    * the only approximation; measured against [[ngramJaccardPairs]] in
+    * TrainingDataSpec. Stands in for the reference's driver-side FAISS
+    * semantic dedup column (/root/reference/data_processing/semantic_index/
+    * build_index.py:36-44) as the lexical near-dup path.
+    */
+  def minhashLshPairs(docs: DataFrame, maxDf: Long = MaxShingleDf,
+      cap: Long = BucketCap): DataFrame = {
+    val sh = shingleSets(docs, maxDf).persist()
+    val minCols = (0 until MinhashHashes).map(i =>
+      min(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 16)).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val banded = sig.select(col("doc_id"), posexplode(array(
+        (0 until MinhashBands).map(b => md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
+      .as(Seq("band", "bucket")))
+    val cand = boundedPairs(banded, Seq("band", "bucket"), "doc_id", cap)
+    exactJaccardPairs(sh, Some(cand))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash signatures as 4 x 16-bit chunk columns (doc_id, c0..c3).
+    * Bit i of a term's hash = parity of hex digit i of
+    * md5("0|"||term) || md5("1|"||term); per-bit votes weighted by tf;
+    * signature bit set iff the vote sum is > 0. Everything md5/integer —
+    * bit-identical in DuckDB.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("w"))
+      .withColumn("hx", concat(
+        md5(concat(lit("0|"), col("term"))), md5(concat(lit("1|"), col("term")))))
+    val voteCols = (0 until 64).map(i =>
+      sum(when(substring(col("hx"), i + 1, 1).isin(OddHexDigits: _*), col("w"))
+        .otherwise(-col("w"))).as(s"b$i"))
+    val votes = tf.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map(j => when(col(s"b${16 * c + j}") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"c$c")
+    }
+    votes.select(col("doc_id") +: chunkCols: _*)
+  }
+
+  /** SimHash near-dup pairs within Hamming distance 3: by pigeonhole a
+    * pair at distance <= 3 over 4 chunks shares at least one exact 16-bit
+    * chunk, so candidates come from the (bounded) chunk-bucket self-join
+    * and are then filtered by the exact Hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, cap: Long = BucketCap): DataFrame = {
+    val sig = simhashSignatures(docs).persist()
+    val chunked = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(c => struct(lit(c).as("c"), col(s"c$c").as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val cand = boundedPairs(chunked, Seq("c", "v"), "doc_id", cap)
+    val sa = sig.select(col("doc_id").as("id_a"),
+      col("c0").as("a0"), col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
+    val sb = sig.select(col("doc_id").as("id_b"),
+      col("c0").as("b0"), col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("hamming", (0 until 4)
+        .map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c")).cast("long")))
+        .reduce(_ + _).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // -------------------------------------------------------------------- ANN
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Dimensions where hyperplane j's sign is +1: parity of the first hex
+    * digit of md5("j|d"). Computed once on the driver and inlined as
+    * literals into BOTH the Spark expression and the oracle SQL.
+    */
+  private[operators] def planePositiveDims(j: Int, dims: Int): Seq[Int] =
+    (0 until dims).filter(d => OddHexDigits.contains(md5hex(s"$j|$d").substring(0, 1)))
+
+  private val cosSql =
+    """aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"""
+
+  private def cosineCol: Column = round(
+    expr(cosSql) /
+      (sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")) *
+        sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)"))), 4)
+
+  /** Brute-force cosine top-k (the exactness baseline and recall oracle). */
+  def annCosineTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineCol.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN (the 100 TB-scale path): sign-random-projection
+    * buckets from [[AnnPlanes]] md5-derived hyperplanes, multi-probed to
+    * every bucket within Hamming distance [[AnnProbeHamming]] of the
+    * query's — only ~(planes+1)/2^planes of the corpus is scanned, and the
+    * probe ring keeps the candidate set non-empty at any corpus size.
+    * Recall vs [[annCosineTopK]] is measured in TrainingDataSpec.
+    */
+  def annLshTopK(emb: DataFrame, k: Int = 10, dims: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val bucketCol = (0 until AnnPlanes).map { j =>
+      val pos = planePositiveDims(j, dims)
+      val dot = expr(
+        s"""aggregate(zip_with(v, sequence(0, ${dims - 1}),
+           |  (x, d) -> CASE WHEN d IN (${pos.mkString(",")}) THEN x ELSE -x END),
+           |  0D, (acc, x) -> acc + x)""".stripMargin)
+      when(round(dot, 6) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withBucket = e.withColumn("bucket", bucketCol)
+    val qb = withBucket.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    withBucket.filter(col("vec_id") > 0)
+      .join(broadcast(qb),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket")).cast("long")) <= AnnProbeHamming)
+      .select(col("vec_id"), cosineCol.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------------- driver contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy on content
     "dedup_exact" -> ((s, dir) =>
-      docs(s, dir).groupBy(md5(col("text")).as("h"))
+      docsTable(s, dir).groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
         .filter(col("n") > 1)),
 
-    // exact n-gram Jaccard near-dup pairs (oracle for the LSH path).
-    // Shingle-inverted-index join: pairs are generated only for docs that
-    // SHARE a shingle — never a blind n^2 cross join.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(s, dir).persist()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh"))
-      val inter = a.join(b, Seq("sh"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-        .withColumn("jaccard",
-          round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-    }),
+    // exact n-gram Jaccard near-dup pairs (recall ground truth for the LSH
+    // path). Shingle-inverted-index join with a df cap — pairs are
+    // generated only for docs sharing a (non-stop) shingle, never blind n^2.
+    "dedup_ngram_jaccard" -> ((s, dir) => ngramJaccardPairs(docsTable(s, dir))),
 
-    // MinHash + LSH banding: 16 hashes, 8 bands of 2 — candidates from
-    // band-bucket self-join, post-verified with exact Jaccard (same
-    // threshold as the oracle query). xxhash64-based, Spark-only sketch.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val numHashes = 16
-      val bands = 8
-      val rows = numHashes / bands
-      val sh = shingles(s, dir)
-      // minhash signature: per doc, min over shingles of xxhash64(seed, sh)
-      val sig = sh.groupBy(col("doc_id")).agg(
-        array((0 until numHashes).map(i => min(xxhash64(lit(i), col("sh")))): _*)
-          .as("sig"))
-      val banded = sig.select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "bucket")))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
-      // post-verify candidates with exact Jaccard
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh"))
-      val inter = a.join(b, Seq("sh")).join(cand, Seq("id_a", "id_b"), "left_semi")
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-        .withColumn("jaccard",
-          round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docsTable(s, dir))),
 
-    // SimHash near-dup: 64-bit signature from per-token xxhash64 bit votes,
-    // pairs within Hamming distance 3 (bucketed by 4 16-bit chunks — a
-    // pair at distance <=3 shares at least one exact chunk).
-    "dedup_simhash" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("w"))
-        .withColumn("h", xxhash64(col("term")))
-      // per-bit weighted votes -> sign -> 64-bit signature
-      val bitCols = (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
-          .otherwise(-col("w"))).as(s"b$i")
-      }
-      val sig = tf.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("sig"))
-      val chunked = sig.select(col("doc_id"), col("sig"), explode(array(
-        (0 until 4).map(c => struct(lit(c).as("c"),
-          shiftright(col("sig"), c * 16).bitwiseAND(0xffffL).as("v"))): _*)).as("ch"))
-        .select(col("doc_id"), col("sig"), col("ch.c"), col("ch.v"))
-      val pairs = chunked.as("x").join(chunked.as("y"),
-          col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          col("x.sig").as("sa"), col("y.sig").as("sb"))
-        .distinct()
-      pairs
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
-        .filter(col("hamming") <= 3)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-    }),
+    "dedup_simhash" -> ((s, dir) => simhashPairs(docsTable(s, dir))),
 
     // brute-force cosine top-k ANN baseline: query = vec_id 0's embedding
-    "ann_cosine_topk" -> ((s, dir) => {
-      val e = emb(s, dir)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      e.filter(col("vec_id") > 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(
-          expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-            (sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")) *
-              sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)"))), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-        .limit(10)
-    }),
+    "ann_cosine_topk" -> ((s, dir) => annCosineTopK(embTable(s, dir))),
 
-    // LSH-bucketed ANN (the 100TB-scale path): 12 sign-random-projection
-    // bits from deterministic +-1 hyperplanes; search only the query's
-    // bucket. Approximate by design -> verified in ScalaTest for recall
-    // against ann_cosine_topk, rows-only here.
-    "ann_lsh_bucket" -> ((s, dir) => {
-      val planes = 12
-      val e = emb(s, dir)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-      // hyperplane j element d = +1/-1 from xxhash64(j, d) parity
-      val bucketCol = (0 until planes).map { j =>
-        val dot = expr(
-          s"""aggregate(zip_with(v, sequence(0, size(v) - 1),
-             |  (x, d) -> CASE WHEN pmod(xxhash64($j, d), 2) = 0 THEN x ELSE -x END),
-             |  0D, (acc, x) -> acc + x)""".stripMargin)
-        when(dot >= 0, shiftleft(lit(1), j)).otherwise(lit(0))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      val withBucket = e.withColumn("bucket", bucketCol)
-      val qb = withBucket.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("bucket").as("qbucket"))
-      withBucket.filter(col("vec_id") > 0)
-        .join(broadcast(qb), col("bucket") === col("qbucket"))
-        .select(col("vec_id"), round(
-          expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-            (sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")) *
-              sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)"))), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-        .limit(10)
-    }),
+    "ann_lsh_bucket" -> ((s, dir) => annLshTopK(embTable(s, dir))),
 
     // language-ID heuristic (script classes; deterministic rule, not a model)
     "lang_id" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), col("lang"),
+      docsTable(s, dir).select(col("doc_id"), col("lang"),
         when(col("text").rlike("[\\u4E00-\\u9FFF]"), "cjk")
           .when(col("text").rlike("[\\u00C0-\\u024F]"), "latin-ext")
           .otherwise("en").as("lang_pred"))),
@@ -191,7 +291,7 @@ object TrainingData {
     // quality scoring: token/char counts + stopword & punctuation ratios
     "quality_score" -> ((s, dir) => {
       val stop = Analyzer.englishStopwords.toSeq.sorted
-      docs(s, dir)
+      docsTable(s, dir)
         .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
         .select(
           col("doc_id"),
@@ -206,7 +306,7 @@ object TrainingData {
 
     // token counting: analyzer tokens + whitespace-word count
     "token_count" -> ((s, dir) =>
-      docs(s, dir).select(
+      docsTable(s, dir).select(
         col("doc_id"),
         size(toks(col("text"))).as("n_tokens"),
         size(split(trim(col("text")), "\\s+")).as("n_words"),
@@ -214,12 +314,104 @@ object TrainingData {
 
     // document fingerprint: content hash of the normalized token stream
     "fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(
+      docsTable(s, dir).select(
         col("doc_id"),
         md5(concat_ws(" ", toks(col("text")))).as("fp")))
   )
 
+  // ----------------------------------------------------------- oracle SQL
+
   private val tokSql = "regexp_extract_all(lower(text), '[\\pL\\pN]+')"
+
+  /** Shared shingle CTEs (mirrors [[shingleSets]] incl. the df cap). */
+  private def shingleCtes: String =
+    s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |  FROM tk WHERE len(toks) >= 3),
+       |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
+       |       JOIN (SELECT sh FROM sh0 GROUP BY 1 HAVING count(*) <= $MaxShingleDf) g
+       |       USING (sh))""".stripMargin
+
+  /** Exact-Jaccard tail (sizes/inter/select), optionally pruned to cand. */
+  private def jaccardTail(candJoin: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  $candJoin
+       |  GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b,
+       |  round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON i.id_a = sa.doc_id
+       |JOIN sizes sb ON i.id_b = sb.doc_id
+       |WHERE round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) >= $JaccardThreshold""".stripMargin
+
+  private def minhashOracle: String = {
+    val minCols = (0 until MinhashHashes)
+      .map(i => s"min(substr(md5('$i|' || sh), 1, 16)) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(mh${2 * b} || mh${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |sig AS (SELECT doc_id, $minCols FROM sh GROUP BY 1),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bands x JOIN bands y
+       |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |${jaccardTail("JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id")}""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val odd = OddHexDigits.map(d => s"'$d'").mkString(", ")
+    val voteCols = (0 until 64)
+      .map(i => s"sum(CASE WHEN substr(hx, ${i + 1}, 1) IN ($odd) THEN w ELSE -w END) AS b$i")
+      .mkString(",\n    ")
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map(j => s"(CASE WHEN b${16 * c + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ") + s" AS c$c"
+    }.mkString(",\n    ")
+    val chunkSelects = (0 until 4)
+      .map(c => s"SELECT doc_id, $c AS c, c$c AS v FROM sig").mkString("\n  UNION ALL ")
+    val ham = (0 until 4)
+      .map(c => s"bit_count(xor(CAST(sa.c$c AS BIGINT), CAST(sb.c$c AS BIGINT)))")
+      .mkString(" + ")
+    s"""WITH tkk AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+       |tf0 AS (SELECT doc_id, term, count(*) AS w FROM tkk GROUP BY 1, 2),
+       |tf AS (SELECT doc_id, w, md5('0|' || term) || md5('1|' || term) AS hx FROM tf0),
+       |votes AS (SELECT doc_id, $voteCols FROM tf GROUP BY 1),
+       |sig AS (SELECT doc_id, $chunkCols FROM votes),
+       |ch AS ($chunkSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT c.id_a, c.id_b, CAST($ham AS INT) AS hamming
+       |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+       |WHERE $ham <= 3""".stripMargin
+  }
+
+  private def annLshOracle: String = {
+    val bucketTerms = (0 until AnnPlanes).map { j =>
+      val pos = planePositiveDims(j, 64).mkString(", ")
+      s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN (i-1) IN ($pos) THEN v[i] ELSE -v[i] END)), 6) >= 0
+         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qbucket FROM bk WHERE vec_id = 0)
+       |SELECT bk.vec_id,
+       |  round(list_sum(list_transform(range(1, len(bk.v) + 1), i -> bk.v[i] * q.qv[i])) /
+       |    (sqrt(list_sum(list_transform(bk.v, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+       |FROM bk, q
+       |WHERE bk.vec_id > 0
+       |  AND bit_count(xor(CAST(bk.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= $AnnProbeHamming
+       |ORDER BY cos DESC, bk.vec_id LIMIT 10""".stripMargin
+  }
 
   def oracles: Map[String, String] = {
     val stopList = Analyzer.englishStopwords.toSeq
@@ -228,24 +420,9 @@ object TrainingData {
       "dedup_exact" ->
         """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
           |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-      "dedup_ngram_jaccard" ->
-        s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest(list_transform(range(1, len(toks) - 1),
-           |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-           |  FROM tk WHERE len(toks) >= 3),
-           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT i.id_a, i.id_b,
-           |  round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) AS jaccard
-           |FROM inter i
-           |JOIN sizes sa ON i.id_a = sa.doc_id
-           |JOIN sizes sb ON i.id_b = sb.doc_id
-           |WHERE round(i.inter / (sa.nsh + sb.nsh - i.inter), 6) >= $JaccardThreshold""".stripMargin,
+      "dedup_ngram_jaccard" -> s"WITH $shingleCtes,\n${jaccardTail("")}",
+      "dedup_minhash_lsh" -> minhashOracle,
+      "dedup_simhash" -> simhashOracle,
       "ann_cosine_topk" ->
         """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |           FROM embeddings),
@@ -256,6 +433,7 @@ object TrainingData {
           |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
           |FROM e, q WHERE e.vec_id > 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      "ann_lsh_bucket" -> annLshOracle,
       "lang_id" ->
         """SELECT doc_id, lang,
           |CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'cjk'
