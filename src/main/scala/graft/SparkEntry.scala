@@ -71,14 +71,17 @@ object SparkEntry {
   )
   private[graft] val queryText: Map[String, String] = querySet.toMap
 
-  /** Round→rank→decorate: shared output shape for every BM25 path. */
+  /** Round→rank→decorate: shared output shape for every BM25 path. The
+    * <= k-row ranked side is explicitly broadcast into the docs join
+    * (reference J3 shape, bm25_searcher.py:117-120).
+    */
   private def finish(top: DataFrame, docs: Dataset[Doc], k: Int): DataFrame = {
     val rounded = top.withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col("docId").asc).limit(k)
     val w = Window.orderBy(col("score").desc, col("docId").asc)
-    rounded
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .join(docs.toDF(), Seq("docId"))
+    val ranked = rounded.withColumn("rank", row_number().over(w).cast("int"))
+    docs.toDF()
+      .join(broadcast(ranked), Seq("docId"))
       .select(col("rank"), col("docId").as("doc_id"), col("score"),
         col("conv_id"), col("turn_idx"), col("text"))
       .orderBy(col("rank"))
@@ -91,18 +94,46 @@ object SparkEntry {
     finish(top, r.docs, k)
   }
 
+  /** WAND fetch size: the driver compares on scores ROUNDED to 4 decimals,
+    * so docs whose exact scores straddle the k-th by < 1e-4 can reorder
+    * after rounding — the over-fetch makes round-then-rank exact at any
+    * verify scale. Cost is bounded: per-shard heap inserts are O(log k')
+    * and the final TakeOrderedAndProject only ever sees per-shard winners.
+    * A latency-sensitive caller would use k directly on the raw scores
+    * (the engine's own tie-break needs no rounding).
+    */
+  private val WandFetchK = 10000
+
   private[graft] def bm25Wand(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
-      q, 10000, cfg)
+      q, WandFetchK, cfg)
     finish(top, idx.docs, k)
+  }
+
+  /** All reference queries scored in ONE job (shared scan + decode),
+    * per-qid round→rank like `finish`.
+    */
+  private[graft] def bm25Batch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.wandTopKBatch(s, idx.blocks, idx.termStats, idx.corpus,
+      querySet, WandFetchK, cfg)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("docId").asc)
+    top.withColumn("score", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("docId").as("doc_id"), col("score"))
   }
 
   // ---------------------------------------------------------------- contract
 
-  /** Flagship: decorated BM25 top-10 for q1 on sf0.001. */
+  /** Flagship: decorated BM25 top-10 for q1 on sf0.001 through the
+    * block-max WAND path over the encoded on-disk index (block scan with
+    * term pushdown → per-shard WAND → TakeOrderedAndProject → broadcast
+    * decoration).
+    */
   def entry(spark: SparkSession): DataFrame =
-    bm25(spark, "/root/testdata/sf0.001", queryText("q1"))
+    bm25Wand(spark, "/root/testdata/sf0.001", queryText("q1"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     engineQueries ++ graft.operators.Relational.queries ++
@@ -148,7 +179,9 @@ object SparkEntry {
     val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>
       s"bm25_wand_$qid" -> ((s: SparkSession, dir: String) => bm25Wand(s, dir, queryText(qid)))
     }
-    base ++ bm25Qs ++ wandQs
+    val batchQ = Map(
+      "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
+    base ++ bm25Qs ++ wandQs ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -238,6 +271,10 @@ object SparkEntry {
     val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>
       s"bm25_wand_$qid" -> bm25OracleSql(queryText(qid))
     }
-    base ++ bm25Qs ++ wandQs
+    val batchOracle = Map(
+      "bm25_batch" -> querySet.map { case (qid, text) =>
+        s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
+      }.mkString("\nUNION ALL\n"))
+    base ++ bm25Qs ++ wandQs ++ batchOracle
   }
 }

@@ -159,6 +159,42 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderstatus"))
         .union(o.filter(col("o_orderstatus") === "O")
           .select(col("o_orderkey"), col("o_orderstatus")))
+    }),
+
+    // P2: nested STRUCT field access via multi-level getField — parse the
+    // props payload into a typed struct, nest it, read back through the
+    // dotted path (reference: $"enrichments.documentType".getField("type"),
+    // diag.scala:29-33)
+    "p2_struct_getfield" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val payload = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+      t(s, dir, "events")
+        .withColumn("evt", struct(col("event_type").as("t"), payload.as("payload")))
+        .select(col("event_id"), col("evt.t").as("t"),
+          col("evt.payload.k").as("k"))
+    }),
+
+    // S1+P5: production JSON-lines ingest — land JSONL (deterministically
+    // derived from documents, with nulls injected every 97th id), read it
+    // back with an EXPLICIT schema, clean via na.drop. The reference's
+    // first pipeline stage (CoreDataCleaner.scala:23-37: spark.read.json →
+    // na.drop → write).
+    "s1_json_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val jsonDir = s"${sys.props("java.io.tmpdir")}/graft-ingest-$safe"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0, lit(null).cast("string"))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"))
+        .write.mode("overwrite").json(jsonDir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType)))
+      s.read.schema(schema).json(jsonDir)
+        .na.drop(Seq("text"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
     })
   )
 
@@ -222,6 +258,14 @@ object Relational {
     "u_union" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL
-        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'""".stripMargin
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "p2_struct_getfield" ->
+      """SELECT event_id, event_type AS t,
+        |CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""".stripMargin,
+    // the JSONL hop is a deterministic function of documents, so the oracle
+    // recomputes the cleaned result directly from the source table
+    "s1_json_ingest" ->
+      """SELECT doc_id, text, lang, source FROM documents
+        |WHERE doc_id % 97 <> 0 AND text IS NOT NULL""".stripMargin
   )
 }

@@ -148,11 +148,69 @@ object QueryEngine {
     candidates.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Multi-query WAND: scores a whole query batch in ONE Spark job,
+    * amortizing the per-job scheduler floor (BASELINE.md measured p50
+    * latency as floor-bound, not scan-bound) and sharing the block scan +
+    * block decodes across queries — the serving shape the reference's API
+    * implies (/root/reference/api/combined.py:159-224, one request per
+    * query against a shared index).
+    *
+    * Returns (qid, docId, score): per-qid exact top-k, same per-query
+    * results as [[wandTopK]] (property-tested).
+    */
+  def wandTopKBatch(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      queries: Seq[(String, String)],
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): DataFrame = {
+    import spark.implicits._
+    def empty: DataFrame =
+      spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
+    val analyzed = queries.map { case (id, q) => id -> Analyzer.analyzeQuery(q, cfg.analyzer) }
+    val names = analyzed.flatMap(_._2.map(_._1)).distinct
+    if (names.isEmpty) return empty
+    val idfs: Map[String, Double] = termStats
+      .filter($"term".isin(names: _*))
+      .collect().map(t => t.term -> t.idf).toMap
+    val perQuery: Seq[(String, Seq[QTerm])] = analyzed
+      .map { case (id, qs) =>
+        id -> qs.collect { case (t, qtf) if idfs.contains(t) => QTerm(t, qtf * idfs(t)) }
+          .sortBy(_.term)
+      }
+      .filter(_._2.nonEmpty)
+    if (perQuery.isEmpty) return empty
+    val liveNames = perQuery.flatMap(_._2.map(_.term)).distinct
+
+    val p = cfg.params
+    val avgdl = corpus.avgdl
+    val kk = k
+    val qB = spark.sparkContext.broadcast(perQuery)
+    val parts = math.max(1, math.min(cfg.numShards,
+      spark.sparkContext.defaultParallelism))
+    val candidates = blocks
+      .filter($"term".isin(liveNames: _*))
+      .repartitionByRange(parts, $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .mapPartitions { it =>
+        WandScorer.scorePartitionBatch(it.buffered, qB.value, kk, p.k1, p.b, avgdl)
+      }
+      .toDF("qid", "docId", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"docId".asc)
+    candidates.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k).drop("rn")
+  }
+
   /** Document-at-a-time WAND, one shard at a time within a partition. */
   private[query] object WandScorer {
 
     final class Cursor(val term: String, val weight: Double,
-        blocks: Array[PostingBlock], k1: Double, b: Double, avgdl: Double) {
+        blocks: Array[PostingBlock], k1: Double, b: Double, avgdl: Double,
+        decodeFn: PostingBlock => Array[Codec.P] = b => Codec.decode(b.payload, b.n)) {
       // blocks are docId-sorted and non-overlapping within (shard, term).
       // Upper bounds derive from (maxTf, minDl) with the CURRENT corpus
       // avgdl: partial() is monotone up in tf, down in dl, so this bounds
@@ -167,7 +225,7 @@ object QueryEngine {
         m
       }
       private var bi = 0
-      private var decoded: Array[Codec.P] = Codec.decode(blocks(0).payload, blocks(0).n)
+      private var decoded: Array[Codec.P] = decodeFn(blocks(0))
       private var pi = 0
       var exhausted: Boolean = false
 
@@ -198,7 +256,7 @@ object QueryEngine {
         while (nb < blocks.length && blocks(nb).maxDocId < target) nb += 1
         bi = nb
         if (bi >= blocks.length) { exhausted = true; decoded = null; return }
-        decoded = Codec.decode(blocks(bi).payload, blocks(bi).n)
+        decoded = decodeFn(blocks(bi))
         pi = 0
         while (decoded(pi).docId < target) pi += 1
       }
@@ -206,7 +264,7 @@ object QueryEngine {
       private def nextBlock(): Unit = {
         bi += 1
         if (bi >= blocks.length) { exhausted = true; decoded = null }
-        else { decoded = Codec.decode(blocks(bi).payload, blocks(bi).n); pi = 0 }
+        else { decoded = decodeFn(blocks(bi)); pi = 0 }
       }
     }
 
@@ -216,8 +274,21 @@ object QueryEngine {
         qts: Seq[QTerm],
         k: Int,
         k1: Double, b: Double, avgdl: Double
-    ): Iterator[(Long, Double)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    ): Iterator[(Long, Double)] =
+      scorePartitionBatch(it, Seq("" -> qts), k, k1, b, avgdl)
+        .map { case (_, d, s) => (d, s) }
+
+    /** Batch variant: every query scored against each shard group while
+      * its blocks are at hand. Decoded blocks are memoized per shard, so a
+      * block shared by several queries is decoded once.
+      */
+    def scorePartitionBatch(
+        it: BufferedIterator[PostingBlock],
+        queries: Seq[(String, Seq[QTerm])],
+        k: Int,
+        k1: Double, b: Double, avgdl: Double
+    ): Iterator[(String, Long, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
       while (it.hasNext) {
         val shard = it.head.shardId
         val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
@@ -225,12 +296,23 @@ object QueryEngine {
           val blk = it.next()
           byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
         }
-        val cursors = qts.flatMap { qt =>
-          byTerm.get(qt.term).map { bs =>
-            new Cursor(qt.term, qt.weight, bs.sortBy(_.minDocId).toArray, k1, b, avgdl)
+        val sortedByTerm: Map[String, Array[PostingBlock]] =
+          byTerm.iterator.map { case (t, bs) => t -> bs.sortBy(_.minDocId).toArray }.toMap
+        // keyed by (term, minDocId): blockIdx is NOT unique within a
+        // (shard, term) after an incremental append (delta blocks restart
+        // at 0); minDocId is, because block docId ranges are disjoint
+        val memo = scala.collection.mutable.HashMap.empty[(String, Long), Array[Codec.P]]
+        val decode: PostingBlock => Array[Codec.P] = blk =>
+          memo.getOrElseUpdate((blk.term, blk.minDocId), Codec.decode(blk.payload, blk.n))
+        queries.foreach { case (qid, qts) =>
+          val cursors = qts.flatMap { qt =>
+            sortedByTerm.get(qt.term).map { bs =>
+              new Cursor(qt.term, qt.weight, bs, k1, b, avgdl, decode)
+            }
           }
+          if (cursors.nonEmpty)
+            out ++= wandShard(cursors.toArray, k).map { case (d, s) => (qid, d, s) }
         }
-        if (cursors.nonEmpty) out ++= wandShard(cursors.toArray, k)
       }
       out.iterator
     }

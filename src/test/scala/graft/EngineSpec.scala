@@ -188,6 +188,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("batch WAND: one job, per-query results identical to single-query WAND") {
+    val batchQs = Seq(
+      "b1" -> "term0000 term0001",
+      "b2" -> "term0250 term0299",
+      "b3" -> "notinvocab", // drops out entirely
+      "b4" -> "term0002 term0002 term0002")
+    val got = QueryEngine.wandTopKBatch(spark, index.blocks, index.termStats,
+      index.corpus, batchQs, 10, cfg)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq.sortBy { case (d, s) => (-s, d) })
+      .toMap
+    batchQs.foreach { case (id, q) =>
+      val single = QueryEngine.wandTopK(spark, index.blocks, index.termStats,
+        index.corpus, q, 10, cfg).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.getOrElse(id, Nil) == single, s"batch mismatch for $id")
+    }
+  }
+
   test("WAND on randomized small corpora matches oracle (property)") {
     (1 to 8).foreach { seed =>
       val t = TranscriptGen.turns(seed = seed * 1000L, nConvs = 12, vocabSize = 40)
