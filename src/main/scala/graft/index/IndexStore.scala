@@ -12,23 +12,32 @@ import graft.model._
   *
   * ```
   * <indexDir>/
-  *   manifest.json          committed atomically (tmp + rename); absence of
-  *                          "complete": true  =>  build in progress / crashed
+  *   manifest.json          committed atomically (tmp + rename); the SINGLE
+  *                          source of truth for which data dirs are live
   *   docs/                  (docId, conv_id, turn_idx, role, text, tool, ts)
-  *   termstats/             (term, df, idf)
-  *                          (per-doc lengths live inside the block payloads;
-  *                          Relations.docStats derives them on demand)
+  *   termstats-vN/          (term, df, idf) — versioned; manifest points at
+  *                          the live one
   *   blocks/shardId=K/      encoded PostingBlock rows (dynamic partitions)
+  *   delta-vN/{blocks,docs} appended snapshots, one dir pair per append
   * ```
   *
   * Resumability (north rule "resumable from snapshot checkpoints with
-  * per-partition lineage"): shards are committed one at a time — write the
-  * shard's block files, then rewrite the manifest listing it as committed.
-  * A crashed build leaves a manifest whose `shards` list is a prefix of the
-  * plan; `build` on the same (deterministic) snapshot skips committed
-  * shards and encodes only the rest. Blocks are deterministic functions of
-  * the sorted postings, so a resumed index is logically byte-identical to
-  * an uninterrupted one (checksummed over payload bytes).
+  * per-partition lineage"): shards are committed one batch at a time — write
+  * the shard's block files, then rewrite the manifest listing it as
+  * committed. A crashed build leaves a manifest whose `shards` list is a
+  * prefix of the plan; `build` on the same (deterministic) snapshot skips
+  * committed shards and encodes only the rest. Term stats are (re)written
+  * unconditionally on every build pass, so a crash between the stats job
+  * and the final manifest can never finalize an index with missing idf.
+  * Blocks are deterministic functions of the sorted postings, so a resumed
+  * index is logically byte-identical to an uninterrupted one (checksummed
+  * over payload bytes).
+  *
+  * Appends are crash-safe by staging: delta blocks/docs and the merged
+  * term stats land in FRESH dirs that the live manifest does not reference;
+  * the commit is one atomic manifest rewrite. A crash mid-append leaves the
+  * base index fully servable (orphan staging dirs are overwritten by the
+  * retry), never a half-merged index.
   *
   * The reference's nearest analogue was `coalesce(1).write.text` of a JSON
   * stats blob (/root/reference/data_processing/Lexical_indexing/
@@ -37,8 +46,9 @@ import graft.model._
 object IndexStore {
 
   /** Bumped whenever the on-disk block/manifest schema changes; loaders
-    * refuse (and callers rebuild) older layouts. */
-  val FormatVersion = 3
+    * refuse (and callers rebuild) older layouts. v4: manifest carries the
+    * live dir lists (blockDirs/docDirs/termstatsDir) for atomic appends. */
+  val FormatVersion = 4
 
   final case class ShardLineage(
       shardId: Int,
@@ -60,6 +70,9 @@ object IndexStore {
       avgdl: Double,
       shards: Seq[ShardLineage],
       metrics: Map[String, Double],
+      blockDirs: Seq[String],
+      docDirs: Seq[String],
+      termstatsDir: String,
       complete: Boolean
   )
 
@@ -81,10 +94,14 @@ object IndexStore {
       .mkString("[", ",", "]")
     val metrics = m.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    def strArr(xs: Seq[String]) = xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+    // "complete" stays the LAST key: readManifest matches it with an
+    // end-anchored regex that escaped text inside string fields can't spoof
     val json =
       s"""{"formatVersion":$FormatVersion,"snapshotId":"${esc(m.snapshotId)}","analyzer":"${esc(m.analyzer)}",
          |"k1":${m.k1},"b":${m.b},"numShards":${m.numShards},"shardSize":${m.shardSize},
          |"blockSize":${m.blockSize},"docCount":${m.docCount},"avgdl":${m.avgdl},
+         |"blockDirs":${strArr(m.blockDirs)},"docDirs":${strArr(m.docDirs)},"termstatsDir":"${esc(m.termstatsDir)}",
          |"shards":$shards,"metrics":$metrics,"complete":${m.complete}}""".stripMargin
     val tmp = Paths.get(dir, "manifest.json.tmp")
     Files.createDirectories(tmp.getParent)
@@ -97,7 +114,6 @@ object IndexStore {
     val p = Paths.get(dir, "manifest.json")
     if (!Files.exists(p)) return None
     val s = Files.readString(p)
-    if (!s.contains(s""""formatVersion":$FormatVersion""")) return None
     def unesc(v: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -119,6 +135,12 @@ object IndexStore {
       .findFirstMatchIn(s).map(m => unesc(m.group(1))).getOrElse("")
     def num(k: String) = s"""\"$k\":(-?[0-9.E+-]+)""".r
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("0")
+    // exact-equality version check (a substring test would accept v40, v41…)
+    if (num("formatVersion").toDouble.toInt != FormatVersion) return None
+    def strArr(k: String): Seq[String] = s"""\"$k\":\\[([^\\]]*)\\]""".r
+      .findFirstMatchIn(s).map(_.group(1)).toSeq.flatMap { body =>
+        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(m => unesc(m.group(1)))
+      }
     val shardRe =
       """\{"shardId":(\d+),"postings":(\d+),"blocks":(\d+),"payloadBytes":(\d+),"checksum":(-?\d+)\}""".r
     val shards = shardRe.findAllMatchIn(s).map { m =>
@@ -129,6 +151,10 @@ object IndexStore {
     val metrics = metricsRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val metricMap = """"([^"]+)":(-?[0-9.E+-]+)""".r.findAllMatchIn(metrics)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // anchored: "complete" is the final key writeManifest emits, so escaped
+    // occurrences inside snapshotId/analyzer can't match here
+    val complete = """"complete":(true|false)\}\s*$""".r
+      .findFirstMatchIn(s).exists(_.group(1) == "true")
     Some(Manifest(
       snapshotId = str("snapshotId"),
       analyzer = str("analyzer"),
@@ -141,9 +167,21 @@ object IndexStore {
       avgdl = num("avgdl").toDouble,
       shards = shards,
       metrics = metricMap,
-      complete = s.contains(""""complete":true""")
+      blockDirs = strArr("blockDirs"),
+      docDirs = strArr("docDirs"),
+      termstatsDir = str("termstatsDir"),
+      complete = complete
     ))
   }
+
+  /** The manifest's build/analysis config must match the caller's — a
+    * caller that changed analyzer or BM25 params but reuses a snapshot id
+    * must NOT silently get the stale index.
+    */
+  private def configMatches(m: Manifest, cfg: IndexBuilder.Config): Boolean =
+    m.analyzer == cfg.analyzer.fingerprint &&
+      m.k1 == cfg.params.k1 && m.b == cfg.params.b &&
+      m.numShards == cfg.numShards && m.blockSize == cfg.blockSize
 
   // ------------------------------------------------------------------ build
 
@@ -170,11 +208,11 @@ object IndexStore {
     import spark.implicits._
     val t0 = System.nanoTime()
     val existing = readManifest(dir)
-    existing.filter(_.complete).foreach { m =>
+    existing.filter(m => m.complete && configMatches(m, cfg)).foreach { m =>
       if (m.snapshotId == snapshotId) return BuildResult(m, dir)
     }
     val committed: Set[Int] = existing match {
-      case Some(m) if m.snapshotId == snapshotId && !m.complete =>
+      case Some(m) if m.snapshotId == snapshotId && !m.complete && configMatches(m, cfg) =>
         m.shards.map(_.shardId).toSet
       case _ => Set.empty
     }
@@ -229,16 +267,17 @@ object IndexStore {
 
     // term stats from the blocks cache (df = Σ block n per term), written
     // CONCURRENTLY with the shard commits below — independent jobs over the
-    // same cache
+    // same cache. Written UNCONDITIONALLY (also on resume): a real crash can
+    // kill the stats job after the first shard commit, and a resumed run
+    // must not finalize an index with missing/partial idf.
+    val tsDir = "termstats-v0"
     val tAux0 = now()
-    val auxF: Future[Unit] =
-      if (committed.isEmpty) Future {
-        blocks.groupBy($"term")
-          .agg(sum($"n").as("df"))
-          .withColumn("idf", log((lit(n) + 1.0) / ($"df" + 1.0)))
-          .write.mode("overwrite").parquet(s"$dir/termstats")
-      }
-      else Future.successful(())
+    val auxF: Future[Unit] = Future {
+      blocks.groupBy($"term")
+        .agg(sum($"n").as("df"))
+        .withColumn("idf", log((lit(n) + 1.0) / ($"df" + 1.0)))
+        .write.mode("overwrite").parquet(s"$dir/$tsDir")
+    }
 
     val tCommit0 = now()
     val allShards = lineage.keys.toSeq.sorted
@@ -249,7 +288,9 @@ object IndexStore {
     def partialManifest(complete: Boolean, metrics: Map[String, Double]) = Manifest(
       snapshotId, cfg.analyzer.fingerprint, cfg.params.k1, cfg.params.b,
       cfg.numShards, shardSize, cfg.blockSize, corpus.docCount,
-      corpus.avgdl, done.sortBy(_.shardId), metrics, complete)
+      corpus.avgdl, done.sortBy(_.shardId), metrics,
+      blockDirs = Seq("blocks"), docDirs = Seq("docs"), termstatsDir = tsDir,
+      complete)
 
     val pending = allShards.filterNot(committed.contains)
     pending.grouped(math.max(1, commitBatchShards)).foreach { batch =>
@@ -307,21 +348,25 @@ object IndexStore {
 
   /** Incremental snapshot append (SURVEY.md §7.6): new turns become delta
     * postings whose docIds continue the base id space (ids of existing
-    * docs never move), encoded into the base's shard grid and unioned with
-    * the base blocks — a boundary shard simply gains extra block files
-    * whose docId ranges sort after the old ones. Corpus stats and term df
-    * are additive; idf is recomputed for the merged N. Block upper-bound
-    * metadata is (maxTf, minDl), valid under the shifted avgdl.
+    * docs never move), encoded into the base's shard grid. Corpus stats and
+    * term df are additive; idf is recomputed for the merged N. Block
+    * upper-bound metadata is (maxTf, minDl), valid under the shifted avgdl.
     *
-    * Not crash-resumable mid-append in this version (the full build is);
-    * an interrupted append requires a rebuild.
+    * Crash-safe by staging: delta blocks/docs and merged term stats are
+    * written to fresh dirs the live manifest does not reference
+    * (`delta-vN/`, `termstats-vN/`); the commit is one atomic manifest
+    * rewrite pointing at them. A crash anywhere before the commit leaves
+    * the base index untouched and fully servable; re-running the append
+    * overwrites the staging dirs and commits. `failBeforeCommit` injects a
+    * crash just before the manifest rewrite (crash-safety test hook).
     */
   def appendSnapshot(
       spark: SparkSession,
       newTurns: Dataset[Turn],
       dir: String,
       snapshotId: String,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      failBeforeCommit: Boolean = false
   ): BuildResult = {
     import spark.implicits._
     val base = readManifest(dir)
@@ -329,9 +374,18 @@ object IndexStore {
     require(base.complete, s"base index at $dir is incomplete")
     require(base.analyzer == cfg.analyzer.fingerprint,
       s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint}")
+    require(base.k1 == cfg.params.k1 && base.b == cfg.params.b,
+      s"BM25 param mismatch: index=(${base.k1},${base.b}) cfg=(${cfg.params.k1},${cfg.params.b})")
 
-    val deltaDocsDir = s"$dir/docs.delta"
-    val rel = IndexBuilder.relations(spark, newTurns, deltaDocsDir, cfg,
+    val v = base.blockDirs.length // delta-v1 for the first append, then v2…
+    val deltaBlocksDir = s"delta-v$v/blocks"
+    val deltaDocsDir = s"delta-v$v/docs"
+    val tsDir = s"termstats-v$v"
+    // idempotent retry: clear any staging leftovers of a crashed append
+    Seq(s"$dir/delta-v$v", s"$dir/$tsDir").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+    val rel = IndexBuilder.relations(spark, newTurns, s"$dir/$deltaDocsDir", cfg,
       idOffset = base.docCount, fixedShardSize = Some(base.shardSize))
 
     val blocks = IndexBuilder.encodeBlocks(spark, rel, cfg)
@@ -349,9 +403,7 @@ object IndexStore {
     blocks
       .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
-      .write.mode("append").partitionBy("shardId").parquet(s"$dir/blocks")
-    rel.docs.write.mode("append").parquet(s"$dir/docs")
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(deltaDocsDir))
+      .write.mode("overwrite").partitionBy("shardId").parquet(s"$dir/$deltaBlocksDir")
 
     // merged corpus stats: token totals are exact integers, so the combined
     // avgdl is exact too
@@ -361,17 +413,15 @@ object IndexStore {
     val avgdlNew = if (nNew == 0) 0.0 else totTokens.toDouble / nNew
 
     // merged term stats: df is additive; idf recomputed for the merged N.
-    // Written to a fresh dir + swap (Spark cannot overwrite its own input).
-    val baseTs = spark.read.parquet(s"$dir/termstats").select($"term", $"df")
+    // Written to the fresh versioned dir (never overwrites the live one).
+    val baseTs = spark.read.parquet(s"$dir/${base.termstatsDir}").select($"term", $"df")
     val deltaTs = rel.postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    val merged = baseTs.unionByName(deltaTs)
+    baseTs.unionByName(deltaTs)
       .groupBy($"term").agg(sum($"df").as("df"))
       .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
-    merged.write.mode("overwrite").parquet(s"$dir/termstats.new")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/termstats"))
-    Files.move(Paths.get(s"$dir/termstats.new"), Paths.get(s"$dir/termstats"))
+      .write.mode("overwrite").parquet(s"$dir/$tsDir")
 
-    val mergedLineage = (base.shards.map(s => s.shardId -> s).toMap.keySet ++ deltaLineage.keySet)
+    val mergedLineage = (base.shards.map(_.shardId).toSet ++ deltaLineage.keySet)
       .toSeq.sorted.map { sid =>
         val b0 = base.shards.find(_.shardId == sid)
         val d = deltaLineage.get(sid)
@@ -389,8 +439,16 @@ object IndexStore {
         "appendedTurns" -> rel.corpus.docCount.toDouble,
         "skewRatio" -> (if (perShard.isEmpty) 1.0
           else perShard.max / (perShard.sum / perShard.size))),
+      blockDirs = base.blockDirs :+ deltaBlocksDir,
+      docDirs = base.docDirs :+ deltaDocsDir,
+      termstatsDir = tsDir,
       complete = true)
-    writeManifest(dir, m)
+    if (failBeforeCommit)
+      throw new RuntimeException("injected failure before append commit")
+    writeManifest(dir, m) // THE commit point
+    // post-commit cleanup: the superseded term-stats dir is unreferenced
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dir/${base.termstatsDir}"))
     blocks.unpersist()
     rel.unpersistAll()
     BuildResult(m, dir)
@@ -414,14 +472,19 @@ object IndexStore {
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
     require(m.complete, s"index at $dir is incomplete (crashed build?) — resume it first")
     // shardId=K dynamic-partition layout: discovery restores shardId as an
-    // int column and prunes shard dirs on shardId predicates for free
-    val blocks = spark.read.parquet(s"$dir/blocks")
-      .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
-        $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf", $"payload")
-      .as[PostingBlock]
+    // int column and prunes shard dirs on shardId predicates for free.
+    // Each manifest-listed dir (base + committed deltas) is discovered
+    // independently, then unioned.
+    val blocks = m.blockDirs.map { d =>
+      spark.read.parquet(s"$dir/$d")
+        .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
+          $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf", $"payload")
+    }.reduce(_.unionByName(_)).as[PostingBlock]
+    val docs = m.docDirs.map(d => spark.read.parquet(s"$dir/$d"))
+      .reduce(_.unionByName(_)).as[Doc]
     Index(dir, m,
       blocks,
-      spark.read.parquet(s"$dir/docs").as[Doc],
-      spark.read.parquet(s"$dir/termstats").as[TermStat])
+      docs,
+      spark.read.parquet(s"$dir/${m.termstatsDir}").as[TermStat])
   }
 }

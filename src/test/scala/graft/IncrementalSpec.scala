@@ -59,4 +59,55 @@ class IncrementalSpec extends AnyFunSuite {
       assert(got == want, s"append WAND mismatch for [$q]")
     }
   }
+
+  test("append crash-safety: base stays servable through a mid-append crash; retry commits") {
+    val baseTurns = shiftConvs(TranscriptGen.turns(seed = 31, nConvs = 25), "a-")
+    val deltaTurns = shiftConvs(TranscriptGen.turns(seed = 32, nConvs = 15), "b-")
+    val dir = Files.createTempDirectory("graft-incr-crash").toString
+    val baseDs = spark.createDataset(baseTurns)(org.apache.spark.sql.Encoders.product[Turn])
+    val deltaDs = spark.createDataset(deltaTurns)(org.apache.spark.sql.Encoders.product[Turn])
+
+    IndexStore.build(spark, baseDs, dir, snapshotId = "snap-base", cfg)
+    val baseOracle = OracleBM25.corpus(baseTurns, cfg.analyzer)
+    def topFor(q: String, idx: IndexStore.Index) =
+      QueryEngine.wandTopK(spark, idx.blocks, idx.termStats, idx.corpus, q, 10, cfg)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // crash INSIDE the append, after all staging writes but before the
+    // manifest commit — the worst legal moment
+    intercept[RuntimeException] {
+      IndexStore.appendSnapshot(spark, deltaDs, dir, "snap-delta", cfg,
+        failBeforeCommit = true)
+    }
+    // the live manifest still serves the BASE index, answers unchanged
+    val afterCrash = IndexStore.load(spark, dir)
+    assert(afterCrash.manifest.snapshotId == "snap-base")
+    assert(afterCrash.manifest.docCount == baseOracle.n)
+    assert(topFor("term0000 term0001", afterCrash) ==
+      OracleBM25.topK(baseOracle, "term0000 term0001", 10, cfg.analyzer))
+
+    // retry: staging dirs overwritten, single-manifest commit lands
+    val retried = IndexStore.appendSnapshot(spark, deltaDs, dir, "snap-delta", cfg)
+    assert(retried.manifest.complete && retried.manifest.snapshotId == "snap-delta")
+    val merged = IndexStore.load(spark, dir)
+    val fullOracle = OracleBM25.corpus(baseTurns ++ deltaTurns, cfg.analyzer)
+    assert(merged.manifest.docCount == fullOracle.n)
+    Seq("term0000 term0001", "term0003 term0007").foreach { q =>
+      assert(topFor(q, merged) == OracleBM25.topK(fullOracle, q, 10, cfg.analyzer),
+        s"post-retry mismatch for [$q]")
+    }
+  }
+
+  test("build refuses a stale index when analyzer/params changed under the same snapshotId") {
+    val turns = TranscriptGen.turns(seed = 41, nConvs = 10)
+    val ds = spark.createDataset(turns)(org.apache.spark.sql.Encoders.product[Turn])
+    val dir = Files.createTempDirectory("graft-cfg-mismatch").toString
+    IndexStore.build(spark, ds, dir, snapshotId = "same-id", cfg)
+    val before = IndexStore.readManifest(dir).get
+    assert(before.k1 == cfg.params.k1)
+    // same snapshotId, different BM25 params: must REBUILD, not early-return
+    val cfg2 = cfg.copy(params = graft.model.Bm25Params(k1 = 1.5))
+    val rebuilt = IndexStore.build(spark, ds, dir, snapshotId = "same-id", cfg2)
+    assert(rebuilt.manifest.k1 == 1.5, "stale index returned despite param change")
+  }
 }

@@ -32,7 +32,10 @@ class SourcesSpec extends AnyFunSuite {
     val m = IndexStore.Manifest("snap \"quoted\"\nnewline", "lower+stop(181)",
       1.2, 0.75, 8, 100L, 128, 777L, 24.25,
       Seq(IndexStore.ShardLineage(0, 10L, 2L, 123L, -5L)),
-      Map("buildSec" -> 1.5, "skewRatio" -> 1.0), complete = true)
+      Map("buildSec" -> 1.5, "skewRatio" -> 1.0),
+      blockDirs = Seq("blocks", "delta-v1/blocks"),
+      docDirs = Seq("docs", "delta-v1/docs"),
+      termstatsDir = "termstats-v1", complete = true)
     IndexStore.writeManifest(dir, m)
     val got = IndexStore.readManifest(dir)
     assert(got.contains(m))
