@@ -59,6 +59,10 @@ object TrainingData {
   val MinhashBands = 8 // 2 rows per band
   val AnnPlanes = 4
   val AnnProbeHamming = 1 // multi-probe: query bucket + all 1-bit neighbors
+  /** Near-dup cosine threshold, tuned to the synthetic embeddings (random
+    * 64-dim: max pairwise cosine ~0.51, so 0.45 keeps the result small but
+    * non-empty; a real corpus would use ~0.9+). */
+  val EmbCosineThreshold = 0.45
 
   private val OddHexDigits = Seq("1", "3", "5", "7", "9", "b", "d", "f")
 
@@ -106,11 +110,23 @@ object TrainingData {
     * construction — only recall is approximate.
     */
   def exactJaccardPairs(sh: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    // the candidate relation feeds TWO consumers (doc-id pruning and the
+    // pair semi-join); persist it or the whole LSH pipeline runs twice
+    val cand = candidates.map(_.persist())
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("id_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh"))
+    // when post-verifying LSH candidates, shrink the shingle self-join to
+    // the candidate docs' shingles FIRST — at scale the candidate set is a
+    // vanishing fraction of the corpus, so the expensive sh⋈sh join must
+    // never see non-candidate docs
+    val shJoin = cand.fold(sh) { c =>
+      val ids = c.select(col("id_a").as("doc_id"))
+        .union(c.select(col("id_b").as("doc_id"))).distinct()
+      sh.join(ids, Seq("doc_id"), "left_semi")
+    }
+    val a = shJoin.select(col("doc_id").as("id_a"), col("sh"))
+    val b = shJoin.select(col("doc_id").as("id_b"), col("sh"))
     val joined = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-    val pruned = candidates.fold(joined)(c => joined.join(c, Seq("id_a", "id_b"), "left_semi"))
+    val pruned = cand.fold(joined)(c => joined.join(c, Seq("id_a", "id_b"), "left_semi"))
     pruned
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
@@ -160,12 +176,19 @@ object TrainingData {
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("w"))
+    // bit signs are a function of the TERM alone: compute the 2 md5s + 64
+    // digit parities once per distinct vocabulary entry and join, instead
+    // of per (doc, term) row — at corpus scale posting rows outnumber the
+    // vocabulary by orders of magnitude
+    val tdict = tf.select(col("term")).distinct()
       .withColumn("hx", concat(
         md5(concat(lit("0|"), col("term"))), md5(concat(lit("1|"), col("term")))))
-    val voteCols = (0 until 64).map(i =>
-      sum(when(substring(col("hx"), i + 1, 1).isin(OddHexDigits: _*), col("w"))
-        .otherwise(-col("w"))).as(s"b$i"))
-    val votes = tf.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("term") +: (0 until 64).map(i =>
+        when(substring(col("hx"), i + 1, 1).isin(OddHexDigits: _*), lit(1))
+          .otherwise(lit(-1)).as(s"s$i")): _*)
+    val voteCols = (0 until 64).map(i => sum(col("w") * col(s"s$i")).as(s"b$i"))
+    val votes = tf.join(tdict, Seq("term"))
+      .groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     val chunkCols = (0 until 4).map { c =>
       (0 until 16).map(j => when(col(s"b${16 * c + j}") > 0, lit(1 << j)).otherwise(lit(0)))
         .reduce(_ + _).as(s"c$c")
@@ -229,6 +252,18 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Sign-random-projection bucket id over the `v` column (array<double>)
+    * from [[AnnPlanes]] md5-derived hyperplanes.
+    */
+  private def bucketCol(dims: Int): Column = (0 until AnnPlanes).map { j =>
+    val pos = planePositiveDims(j, dims)
+    val dot = expr(
+      s"""aggregate(zip_with(v, sequence(0, ${dims - 1}),
+         |  (x, d) -> CASE WHEN d IN (${pos.mkString(",")}) THEN x ELSE -x END),
+         |  0D, (acc, x) -> acc + x)""".stripMargin)
+    when(round(dot, 6) >= 0, lit(1 << j)).otherwise(lit(0))
+  }.reduce(_ + _)
+
   /** LSH-bucketed ANN (the 100 TB-scale path): sign-random-projection
     * buckets from [[AnnPlanes]] md5-derived hyperplanes, multi-probed to
     * every bucket within Hamming distance [[AnnProbeHamming]] of the
@@ -239,15 +274,7 @@ object TrainingData {
   def annLshTopK(emb: DataFrame, k: Int = 10, dims: Int = 64): DataFrame = {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-    val bucketCol = (0 until AnnPlanes).map { j =>
-      val pos = planePositiveDims(j, dims)
-      val dot = expr(
-        s"""aggregate(zip_with(v, sequence(0, ${dims - 1}),
-           |  (x, d) -> CASE WHEN d IN (${pos.mkString(",")}) THEN x ELSE -x END),
-           |  0D, (acc, x) -> acc + x)""".stripMargin)
-      when(round(dot, 6) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    val withBucket = e.withColumn("bucket", bucketCol)
+    val withBucket = e.withColumn("bucket", bucketCol(dims))
     val qb = withBucket.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("bucket").as("qbucket"))
     withBucket.filter(col("vec_id") > 0)
@@ -256,6 +283,33 @@ object TrainingData {
       .select(col("vec_id"), cosineCol.as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: each vector is
+    * multi-probed into its Hamming<=1 bucket ball (5 keys), pairs come
+    * from the EQUI-join on the probe key (two vectors whose buckets differ
+    * by <=2 bits share a midpoint probe — never an n^2 nested-loop join),
+    * then the exact cosine filters candidates. Bucket overflow falls back
+    * to hub pairs like every other LSH path here.
+    */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double = EmbCosineThreshold,
+      cap: Long = BucketCap, dims: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("bucket", bucketCol(dims)).persist()
+    val probes = e.select(col("vec_id"), explode(array(
+        col("bucket") +: (0 until AnnPlanes).map(j =>
+          col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("probe"))
+    val cand = boundedPairs(probes, Seq("probe"), "vec_id", cap)
+    val va = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(va, 0D, (acc, x) -> acc + x * x)")) *
+            sqrt(expr("aggregate(vb, 0D, (acc, x) -> acc + x * x)"))), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   // ------------------------------------------------------- driver contract
@@ -281,6 +335,8 @@ object TrainingData {
 
     "ann_lsh_bucket" -> ((s, dir) => annLshTopK(embTable(s, dir))),
 
+    "dedup_embedding_cosine" -> ((s, dir) => embeddingCosinePairs(embTable(s, dir))),
+
     // language-ID heuristic (script classes; deterministic rule, not a model)
     "lang_id" -> ((s, dir) =>
       docsTable(s, dir).select(col("doc_id"), col("lang"),
@@ -304,12 +360,16 @@ object TrainingData {
             greatest(length(col("text")).cast("double"), lit(1.0)), 6).as("punct_ratio"))
     }),
 
-    // token counting: analyzer tokens + whitespace-word count
+    // token counting: analyzer tokens, whitespace-word count, and a
+    // BPE-ish pretokenizer count (GPT-2-style alternation minus lookahead
+    // so the same RE2-compatible regex runs in both engines)
     "token_count" -> ((s, dir) =>
       docsTable(s, dir).select(
         col("doc_id"),
         size(toks(col("text"))).as("n_tokens"),
         size(split(trim(col("text")), "\\s+")).as("n_words"),
+        size(regexp_extract_all(col("text"),
+          lit(" ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0))).as("n_subwords"),
         col("n_chars"))),
 
     // document fingerprint: content hash of the normalized token stream
@@ -392,16 +452,18 @@ object TrainingData {
        |WHERE $ham <= 3""".stripMargin
   }
 
-  private def annLshOracle: String = {
-    val bucketTerms = (0 until AnnPlanes).map { j =>
-      val pos = planePositiveDims(j, 64).mkString(", ")
-      s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
-         |    i -> CASE WHEN (i-1) IN ($pos) THEN v[i] ELSE -v[i] END)), 6) >= 0
-         |  THEN ${1 << j} ELSE 0 END)""".stripMargin
-    }.mkString("\n  + ")
+  /** SQL twin of [[bucketCol]] (same inlined plane signs). */
+  private def bucketSqlTerms: String = (0 until AnnPlanes).map { j =>
+    val pos = planePositiveDims(j, 64).mkString(", ")
+    s"""(CASE WHEN round(list_sum(list_transform(range(1, 65),
+       |    i -> CASE WHEN (i-1) IN ($pos) THEN v[i] ELSE -v[i] END)), 6) >= 0
+       |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+  }.mkString("\n  + ")
+
+  private def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |bk AS (SELECT vec_id, v, $bucketTerms AS bucket FROM e),
+       |bk AS (SELECT vec_id, v, $bucketSqlTerms AS bucket FROM e),
        |q AS (SELECT v AS qv, bucket AS qbucket FROM bk WHERE vec_id = 0)
        |SELECT bk.vec_id,
        |  round(list_sum(list_transform(range(1, len(bk.v) + 1), i -> bk.v[i] * q.qv[i])) /
@@ -411,6 +473,26 @@ object TrainingData {
        |WHERE bk.vec_id > 0
        |  AND bit_count(xor(CAST(bk.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= $AnnProbeHamming
        |ORDER BY cos DESC, bk.vec_id LIMIT 10""".stripMargin
+
+  private def embCosineOracle: String = {
+    val probeSelects = ("SELECT vec_id, bucket AS probe FROM bk" +:
+      (0 until AnnPlanes).map(j =>
+        s"SELECT vec_id, CAST(xor(CAST(bucket AS BIGINT), ${1 << j}) AS INT) AS probe FROM bk"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucketSqlTerms AS bucket FROM e),
+       |probes AS ($probeSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM probes x JOIN probes y
+       |         ON x.probe = y.probe AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+       |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+       |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+       |  FROM cand c JOIN bk a ON c.id_a = a.vec_id JOIN bk b ON c.id_b = b.vec_id)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= $EmbCosineThreshold""".stripMargin
   }
 
   def oracles: Map[String, String] = {
@@ -434,6 +516,7 @@ object TrainingData {
           |FROM e, q WHERE e.vec_id > 0
           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
       "ann_lsh_bucket" -> annLshOracle,
+      "dedup_embedding_cosine" -> embCosineOracle,
       "lang_id" ->
         """SELECT doc_id, lang,
           |CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'cjk'
@@ -452,7 +535,9 @@ object TrainingData {
            |FROM tk""".stripMargin,
       "token_count" ->
         s"""SELECT doc_id, len($tokSql) AS n_tokens,
-           |len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, n_chars
+           |len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           |len(regexp_extract_all(text, ' ?\\pL+| ?\\pN+| ?[^\\s\\pL\\pN]+')) AS n_subwords,
+           |n_chars
            |FROM documents""".stripMargin,
       "fingerprint" ->
         s"SELECT doc_id, md5(array_to_string($tokSql, ' ')) AS fp FROM documents"

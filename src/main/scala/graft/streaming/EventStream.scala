@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
+
+import graft.index.{IndexBuilder, IndexStore}
+import graft.model.Turn
 
 /** Structured Streaming surface.
   *
@@ -60,6 +63,30 @@ object EventStream {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
       .parquet(dir)
+
+  /** Continuous indexing: every micro-batch of new turns lands in the BM25
+    * index as an incremental snapshot — the first batch is a full build,
+    * later batches go through the crash-safe appendSnapshot (staged dirs +
+    * atomic manifest commit), so a long-lived ingest stream keeps the index
+    * queryable and fresh without rebuilds. foreachBatch is the Structured
+    * Streaming pattern for transactional sinks; the manifest commit IS the
+    * transaction, so a batch that dies mid-append is simply retried.
+    */
+  def indexTurns(spark: SparkSession, turns: DataFrame, indexDir: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()): StreamingQuery =
+    turns.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val ds = batch.as[Turn](org.apache.spark.sql.Encoders.product[Turn])
+        if (!ds.isEmpty) {
+          if (IndexStore.readManifest(indexDir).exists(_.complete))
+            IndexStore.appendSnapshot(spark, ds, indexDir, s"stream-batch-$batchId", cfg)
+          else
+            IndexStore.build(spark, ds, indexDir, s"stream-batch-$batchId", cfg)
+        }
+        ()
+      }
+      .start()
 
   /** Drive a streaming query synchronously to completion on a static dir
     * (memory sink), returning the materialized result.

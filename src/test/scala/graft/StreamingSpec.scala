@@ -36,6 +36,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(want), "streamed window disagrees with batch")
   }
 
+  test("continuous indexing: micro-batches append snapshots; index stays oracle-exact") {
+    import java.nio.file.Files
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.model.Turn
+    import graft.query.QueryEngine
+    import TestKit.{OracleBM25, TranscriptGen}
+    val cfg = IndexBuilder.Config(docIdPartitions = 2, numShards = 4)
+    def shift(ts: Seq[Turn], p: String) = ts.map(t => t.copy(conv_id = p + t.conv_id))
+    val base = shift(TranscriptGen.turns(seed = 61, nConvs = 12), "a-")
+    val delta = shift(TranscriptGen.turns(seed = 62, nConvs = 8), "b-")
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val idxDir = Files.createTempDirectory("graft-stream-idx").toString
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+
+    spark.createDataset(base)(enc).coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(enc.schema)
+      .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+    val q = graft.streaming.EventStream.indexTurns(spark, stream, idxDir, cfg)
+    try {
+      q.processAllAvailable()
+      val idx1 = IndexStore.load(spark, idxDir)
+      assert(idx1.manifest.docCount == OracleBM25.corpus(base, cfg.analyzer).n)
+      // a later micro-batch arrives and is appended incrementally
+      spark.createDataset(delta)(enc).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val idx = IndexStore.load(spark, idxDir)
+    val oracle = OracleBM25.corpus(base ++ delta, cfg.analyzer)
+    assert(idx.manifest.docCount == oracle.n)
+    assert(idx.manifest.blockDirs.size >= 2, "delta batch should be an append, not a rebuild")
+    Seq("term0000 term0001", "term0002").foreach { text =>
+      val want = OracleBM25.topK(oracle, text, 10, cfg.analyzer)
+      val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+        idx.corpus, text, 10, cfg)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"stream-indexed mismatch for [$text]")
+    }
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val stream = EventStream.readEvents(spark, dir, "events.parquet", batch.schema)
