@@ -171,7 +171,22 @@ object SparkEntry {
         index(s, dir).blocks.toDF()
           .select(col("term"),
             explode(graft.plans.DecodeBlock(col("payload"), col("n"))).as("p"))
-          .select(col("term"), col("p.docId").as("doc_id"), col("p.tf")))
+          .select(col("term"), col("p.docId").as("doc_id"), col("p.tf"))),
+      // point doc fetch against the BUILT index (the reference's
+      // /paper/{id} shape, fetch_paper_job.py:19 — theirs launched a whole
+      // spark-submit per lookup; here it's a pushed-down parquet point read
+      // on the long-lived session)
+      "doc_lookup" -> ((s, dir) =>
+        index(s, dir).docs.toDF()
+          .filter(col("docId") === 123L)
+          .select(col("docId").as("doc_id"), col("conv_id"), col("turn_idx"), col("text"))),
+      // spark.sql(...) surface over a registered view — same engine, SQL
+      // entry point
+      "sql_q1" -> ((s, dir) => {
+        s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+                 FROM lineitem_v GROUP BY l_returnflag""")
+      })
     )
     val bm25Qs = querySet.map { case (qid, text) =>
       s"bm25_$qid" -> ((s: SparkSession, dir: String) => bm25(s, dir, text))
@@ -265,7 +280,12 @@ object SparkEntry {
       "postings" ->
         s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT term, doc_id, tf FROM post",
       "postings_from_blocks" ->
-        s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT term, doc_id, tf FROM post"
+        s"WITH $cteTranscripts,\n$cteDocs,\n$cteTokens SELECT term, doc_id, tf FROM post",
+      "doc_lookup" ->
+        s"WITH $cteTranscripts,\n$cteDocs SELECT doc_id, conv_id, turn_idx, text FROM docs WHERE doc_id = 123",
+      "sql_q1" ->
+        """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY 1""".stripMargin
     )
     val bm25Qs = querySet.map { case (qid, text) => s"bm25_$qid" -> bm25OracleSql(text) }
     val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>

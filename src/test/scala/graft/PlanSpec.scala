@@ -62,4 +62,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(idx.blocks.filter($"term".isin("data", "spark")).toDF())
     assert(p.contains("PushedFilters: [In(term"), p)
   }
+
+  test("batch WAND scans the block table once for the whole query batch") {
+    val idx = SparkEntry.index(spark, dir)
+    val qs = Seq("b1" -> "data spark", "b2" -> "join stream", "b3" -> "window")
+    val p = plan(QueryEngine.wandTopKBatch(spark, idx.blocks, idx.termStats,
+      idx.corpus, qs, 10))
+    val scans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(scans == 1, s"expected ONE shared block scan, got $scans:\n$p")
+  }
+
+  test("embedding-cosine dedup joins on the probe key (no nested-loop pair join)") {
+    val p = plan(graft.operators.TrainingData.queries("dedup_embedding_cosine")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation degraded to a cross join:\n" + p)
+  }
+
+  test("doc lookup is a pushed-down parquet point read") {
+    val p = plan(SparkEntry.queries("doc_lookup")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(docId), EqualTo(docId,123)"), p)
+  }
 }
