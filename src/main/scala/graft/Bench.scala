@@ -68,8 +68,9 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Build at one parallelism level; returns (buildSec, queryLatenciesSec). */
-  private def buildAndQuery(cpus: Int, nTurns: Long, reps: Int): (Double, Seq[Double]) = {
+  /** Build at one parallelism level; returns (buildSec, queryLatenciesSec,
+    * batchOf5Sec). */
+  private def buildAndQuery(cpus: Int, nTurns: Long, reps: Int): (Double, Seq[Double], Double) = {
     val spark = session(cpus)
     try {
       val dir = s"${sys.props("java.io.tmpdir")}/graft-bench-$cpus-$nTurns"
@@ -102,7 +103,14 @@ object Bench {
           time(QueryEngine.wandTopK(spark, blocks, ts, idx.corpus, q, 10, cfg).collect())._2
         }
       }
-      (buildSec, lats)
+      // batch amortization: the same 5 queries in ONE job (shared scan +
+      // per-shard decode memo) vs the 5 single-query jobs above
+      val batch = queries.zipWithIndex.map { case (q, i) => s"q$i" -> q }
+      val batchSec = (0 until reps).map { _ =>
+        time(QueryEngine.wandTopKBatch(spark, blocks, ts, idx.corpus, batch, 10, cfg)
+          .collect())._2
+      }.min
+      (buildSec, lats, batchSec)
     } finally spark.stop()
   }
 
@@ -128,14 +136,14 @@ object Bench {
     // noise is 2-3x run-to-run, and whichever level runs last inherits a
     // fully JIT-warmed JVM — alternation + best-of removes both biases.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
-    val runs: Seq[(Int, (Double, Seq[Double]))] =
+    val runs: Seq[(Int, (Double, Seq[Double], Double))] =
       (1 to rounds).flatMap { _ =>
         Seq(hi -> buildAndQuery(hi, nTurns, reps), lo -> buildAndQuery(lo, nTurns, reps))
       }
-    def bestOf(cpus: Int): (Double, Seq[Double]) =
+    def bestOf(cpus: Int): (Double, Seq[Double], Double) =
       runs.filter(_._1 == cpus).map(_._2).minBy(_._1)
-    val (buildLo, latsLo) = bestOf(lo)
-    val (buildHi, latsHi) = bestOf(hi)
+    val (buildLo, latsLo, batchLo) = bestOf(lo)
+    val (buildHi, latsHi, batchHi) = bestOf(hi)
     val thrLo = nTurns / buildLo
     val thrHi = nTurns / buildHi
     val eff = thrHi / (4.0 * thrLo)
@@ -152,7 +160,7 @@ object Bench {
     // Raw per-run times go to a SEPARATE line: the final metric line must
     // stay small enough to survive the driver's stdout tail buffer intact
     // (round 1's one fat line truncated and parsed as null).
-    val rawRuns = runs.zipWithIndex.map { case ((c, (sec, _)), i) =>
+    val rawRuns = runs.zipWithIndex.map { case ((c, (sec, _, _)), i) =>
       s"build_run${i}_local$c" -> sec
     }
     println(rawRuns.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
@@ -169,7 +177,9 @@ object Bench {
       s"query_p50_local${lo}_sec" -> r3(p(latsLo, 0.50)),
       s"query_p95_local${lo}_sec" -> r3(p(latsLo, 0.95)),
       s"query_p50_local${hi}_sec" -> r3(p(latsHi, 0.50)),
-      s"query_p95_local${hi}_sec" -> r3(p(latsHi, 0.95))
+      s"query_p95_local${hi}_sec" -> r3(p(latsHi, 0.95)),
+      s"batch5_local${lo}_sec" -> r3(batchLo),
+      s"batch5_local${hi}_sec" -> r3(batchHi)
     ) ++ perQuery.map { case (k, v) => k -> r3(v) }
     val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = buildHi + perQuery.map(_._2).filter(_ > 0).sum
