@@ -18,9 +18,12 @@ class EntrySpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse)
   }
 
-  test("every oracleSql key has a queries entry") {
+  test("queries and oracleSql cover exactly the same keys") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    // round-1 lesson: a query without an oracle is invisible to the
+    // correctness gate — every driver query MUST carry its DuckDB twin
+    assert(q.subsetOf(o), s"queries without oracles: ${q -- o}")
   }
 }
