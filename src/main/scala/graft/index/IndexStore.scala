@@ -454,6 +454,80 @@ object IndexStore {
     BuildResult(m, dir)
   }
 
+  // --------------------------------------------------------------- compact
+
+  /** Compact a multi-dir index (base + appended deltas) back into ONE
+    * block dir + ONE docs dir — the Lucene-merge/Iceberg-compaction step
+    * that completes the incremental lifecycle (build → append* → compact).
+    *
+    * Postings are recovered by DECODING the existing blocks (never a
+    * corpus re-tokenize), re-exchanged on (shardId, term) and re-encoded
+    * with the same deterministic encoder as the build, so a (shard, term)
+    * list that was split across base + delta block runs becomes one
+    * contiguous run again. Corpus stats, term stats and docIds are already
+    * merged-exact and unchanged. Staged dirs + one atomic manifest rewrite,
+    * crash-safe exactly like appendSnapshot; superseded dirs are removed
+    * only after the commit.
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      failBeforeCommit: Boolean = false
+  ): BuildResult = {
+    import spark.implicits._
+    val m = readManifest(dir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
+    require(m.complete, s"index at $dir is incomplete")
+    if (m.blockDirs.size == 1 && m.docDirs.size == 1) return BuildResult(m, dir)
+    val idx = load(spark, dir)
+    // monotonic generation => staging names never collide with live dirs
+    val gen = m.metrics.getOrElse("compactGen", 0.0).toInt + 1
+    val stageBlocks = s"compact-g$gen/blocks"
+    val stageDocs = s"compact-g$gen/docs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/compact-g$gen"))
+
+    val postings = idx.blocks.toDF()
+      .select($"shardId", $"term",
+        explode(graft.plans.DecodeBlock($"payload", $"n")).as("p"))
+      .select($"shardId", $"term", $"p.docId".as("docId"),
+        $"p.tf".as("tf"), $"p.dl".as("dl"))
+    val blocks = IndexBuilder.encodePostings(spark, postings, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lineage = blocks
+      .groupBy($"shardId")
+      .agg(sum($"n").as("postings"), count(lit(1)).as("blocks"),
+        sum(length($"payload")).as("payloadBytes"),
+        sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"))
+      .collect()
+      .map(r => ShardLineage(r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_.shardId).toSeq
+    blocks
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .write.mode("overwrite").partitionBy("shardId").parquet(s"$dir/$stageBlocks")
+    idx.docs.toDF().write.mode("overwrite").parquet(s"$dir/$stageDocs")
+
+    val m2 = m.copy(
+      shards = lineage,
+      blockDirs = Seq(stageBlocks),
+      docDirs = Seq(stageDocs),
+      metrics = m.metrics ++ Map(
+        "compactGen" -> gen.toDouble,
+        "compactedDirs" -> m.blockDirs.size.toDouble))
+    if (failBeforeCommit)
+      throw new RuntimeException("injected failure before compact commit")
+    writeManifest(dir, m2) // THE commit point
+    blocks.unpersist()
+    // post-commit cleanup of the superseded dirs (best-effort; a retry of
+    // any later append/compact clears its own staging first)
+    (m.blockDirs ++ m.docDirs).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d"))
+    }
+    BuildResult(m2, dir)
+  }
+
   // ------------------------------------------------------------------- load
 
   final case class Index(

@@ -72,8 +72,13 @@ object EventStream {
     * Streaming pattern for transactional sinks; the manifest commit IS the
     * transaction, so a batch that dies mid-append is simply retried.
     */
+  /** @param compactAfterDeltas when > 0, compact the index back to a
+    *        single block dir once more than this many dirs accumulate
+    *        (the Lucene-merge policy knob; 0 = never)
+    */
   def indexTurns(spark: SparkSession, turns: DataFrame, indexDir: String,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()): StreamingQuery =
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      compactAfterDeltas: Int = 0): StreamingQuery =
     turns.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -83,6 +88,9 @@ object EventStream {
             IndexStore.appendSnapshot(spark, ds, indexDir, s"stream-batch-$batchId", cfg)
           else
             IndexStore.build(spark, ds, indexDir, s"stream-batch-$batchId", cfg)
+          if (compactAfterDeltas > 0 &&
+              IndexStore.readManifest(indexDir).exists(_.blockDirs.size > compactAfterDeltas))
+            IndexStore.compact(spark, indexDir, cfg)
         }
         ()
       }

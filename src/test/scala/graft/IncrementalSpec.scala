@@ -98,6 +98,49 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: collapses base+delta dirs to one, answers unchanged, crash-safe") {
+    val baseTurns = shiftConvs(TranscriptGen.turns(seed = 33, nConvs = 25), "a-")
+    val deltaTurns = shiftConvs(TranscriptGen.turns(seed = 34, nConvs = 15), "b-")
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val baseDs = spark.createDataset(baseTurns)(org.apache.spark.sql.Encoders.product[Turn])
+    val deltaDs = spark.createDataset(deltaTurns)(org.apache.spark.sql.Encoders.product[Turn])
+    IndexStore.build(spark, baseDs, dir, snapshotId = "snap-base", cfg)
+    IndexStore.appendSnapshot(spark, deltaDs, dir, "snap-delta", cfg)
+    val before = IndexStore.load(spark, dir)
+    assert(before.manifest.blockDirs.size == 2)
+    val postingsBefore = before.blocks.collect()
+      .flatMap(b => graft.index.Codec.decode(b.payload, b.n)
+        .map(p => (b.term, p.docId, p.tf))).sorted.toSeq
+
+    // crash just before the manifest rewrite: merged index keeps serving
+    intercept[RuntimeException] {
+      IndexStore.compact(spark, dir, cfg, failBeforeCommit = true)
+    }
+    assert(IndexStore.load(spark, dir).manifest.blockDirs.size == 2)
+
+    val compacted = IndexStore.compact(spark, dir, cfg)
+    assert(compacted.manifest.blockDirs.size == 1 && compacted.manifest.docDirs.size == 1)
+    assert(compacted.manifest.docCount == before.manifest.docCount)
+    assert(compacted.manifest.avgdl == before.manifest.avgdl)
+    val idx = IndexStore.load(spark, dir)
+    // identical posting content, now in contiguous (shard, term) runs
+    val postingsAfter = idx.blocks.collect()
+      .flatMap(b => graft.index.Codec.decode(b.payload, b.n)
+        .map(p => (b.term, p.docId, p.tf))).sorted.toSeq
+    assert(postingsAfter == postingsBefore)
+    // and rank-identical answers over the merged corpus
+    val oracle = OracleBM25.corpus(baseTurns ++ deltaTurns, cfg.analyzer)
+    Seq("term0000 term0001", "term0003 term0007").foreach { q =>
+      val want = OracleBM25.topK(oracle, q, 10, cfg.analyzer)
+      val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+        idx.corpus, q, 10, cfg).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"post-compact mismatch for [$q]")
+    }
+    // compacting a single-dir index is a no-op
+    assert(IndexStore.compact(spark, dir, cfg).manifest.blockDirs ==
+      compacted.manifest.blockDirs)
+  }
+
   test("build refuses a stale index when analyzer/params changed under the same snapshotId") {
     val turns = TranscriptGen.turns(seed = 41, nConvs = 10)
     val ds = spark.createDataset(turns)(org.apache.spark.sql.Encoders.product[Turn])
