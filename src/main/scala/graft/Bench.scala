@@ -163,16 +163,20 @@ object Bench {
     val rawRuns = runs.zipWithIndex.map { case ((c, (sec, _, _)), i) =>
       s"build_run${i}_local$c" -> sec
     }
-    println(rawRuns.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // Locale.ROOT: a comma-decimal default locale would render f"%.3f" as
+    // "0,123" and break the JSON
+    def fmt(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
+    println(rawRuns.map { case (k, v) => "\"" + k + "\":" + fmt("%.2f", v) }
       .mkString("""{"bench_raw_runs":{""", ",", "}}"))
 
-    def r3(v: Double): String = f"$v%.3f"
+    def r3(v: Double): String = fmt("%.3f", v)
     val entries: Seq[(String, String)] = Seq(
       "build_turns" -> nTurns.toString,
       s"build_local${lo}_sec" -> r3(buildLo),
       s"build_local${hi}_sec" -> r3(buildHi),
-      s"turns_per_sec_local$lo" -> f"$thrLo%.0f",
-      s"turns_per_sec_local$hi" -> f"$thrHi%.0f",
+      s"turns_per_sec_local$lo" -> fmt("%.0f", thrLo),
+      s"turns_per_sec_local$hi" -> fmt("%.0f", thrHi),
       s"scaling_efficiency_${lo}_to_$hi" -> r3(eff),
       s"query_p50_local${lo}_sec" -> r3(p(latsLo, 0.50)),
       s"query_p95_local${lo}_sec" -> r3(p(latsLo, 0.95)),

@@ -183,6 +183,13 @@ object IndexStore {
       m.k1 == cfg.params.k1 && m.b == cfg.params.b &&
       m.numShards == cfg.numShards && m.blockSize == cfg.blockSize
 
+  /** Next monotonic staging generation for append/compact dir names
+    * (tracked in metrics; strictly increasing, so a staging name can never
+    * collide with any live dir).
+    */
+  private def nextGen(m: Manifest): Int =
+    m.metrics.getOrElse("dirGen", 0.0).toInt + 1
+
   // ------------------------------------------------------------------ build
 
   final case class BuildResult(manifest: Manifest, dir: String)
@@ -281,8 +288,15 @@ object IndexStore {
 
     val tCommit0 = now()
     val allShards = lineage.keys.toSeq.sorted
+    // seed the committed lineage ONLY on a true resume (same snapshot +
+    // config, incomplete manifest) — seeding from a stale manifest during a
+    // config-change rebuild would list shards as committed that the fresh
+    // blocks/ dir does not contain, and a crash+resume would then finalize
+    // an index missing them
     var done: Seq[ShardLineage] =
-      existing.map(_.shards.filter(s => lineage.contains(s.shardId))).getOrElse(Nil)
+      if (committed.isEmpty) Nil
+      else existing.map(_.shards.filter(s =>
+        committed.contains(s.shardId) && lineage.contains(s.shardId))).getOrElse(Nil)
     var commitsThisRun = 0
 
     def partialManifest(complete: Boolean, metrics: Map[String, Double]) = Manifest(
@@ -372,17 +386,27 @@ object IndexStore {
     val base = readManifest(dir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
     require(base.complete, s"base index at $dir is incomplete")
+    // idempotence under at-least-once retry (e.g. Structured Streaming's
+    // foreachBatch): an append whose snapshotId already committed is a
+    // no-op — re-running it would append the same turns a second time
+    if (base.snapshotId == snapshotId) return BuildResult(base, dir)
     require(base.analyzer == cfg.analyzer.fingerprint,
       s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint}")
     require(base.k1 == cfg.params.k1 && base.b == cfg.params.b,
       s"BM25 param mismatch: index=(${base.k1},${base.b}) cfg=(${cfg.params.k1},${cfg.params.b})")
+    require(base.blockSize == cfg.blockSize,
+      s"blockSize mismatch: index=${base.blockSize} cfg=${cfg.blockSize}")
 
-    val v = base.blockDirs.length // delta-v1 for the first append, then v2…
-    val deltaBlocksDir = s"delta-v$v/blocks"
-    val deltaDocsDir = s"delta-v$v/docs"
-    val tsDir = s"termstats-v$v"
+    // staging names use a MONOTONIC generation (shared with compact), never
+    // a dir count: blockDirs.length resets after a compact, and a reused
+    // name could collide with — and the retry-cleanup below delete — a
+    // LIVE dir (e.g. the current termstats)
+    val gen = nextGen(base)
+    val deltaBlocksDir = s"delta-g$gen/blocks"
+    val deltaDocsDir = s"delta-g$gen/docs"
+    val tsDir = s"termstats-g$gen"
     // idempotent retry: clear any staging leftovers of a crashed append
-    Seq(s"$dir/delta-v$v", s"$dir/$tsDir").foreach(d =>
+    Seq(s"$dir/delta-g$gen", s"$dir/$tsDir").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
 
     val rel = IndexBuilder.relations(spark, newTurns, s"$dir/$deltaDocsDir", cfg,
@@ -437,6 +461,7 @@ object IndexStore {
       nNew, avgdlNew, mergedLineage,
       base.metrics ++ Map(
         "appendedTurns" -> rel.corpus.docCount.toDouble,
+        "dirGen" -> gen.toDouble,
         "skewRatio" -> (if (perShard.isEmpty) 1.0
           else perShard.max / (perShard.sum / perShard.size))),
       blockDirs = base.blockDirs :+ deltaBlocksDir,
@@ -481,8 +506,9 @@ object IndexStore {
     require(m.complete, s"index at $dir is incomplete")
     if (m.blockDirs.size == 1 && m.docDirs.size == 1) return BuildResult(m, dir)
     val idx = load(spark, dir)
-    // monotonic generation => staging names never collide with live dirs
-    val gen = m.metrics.getOrElse("compactGen", 0.0).toInt + 1
+    // monotonic generation (shared counter with appendSnapshot) => staging
+    // names never collide with live dirs
+    val gen = nextGen(m)
     val stageBlocks = s"compact-g$gen/blocks"
     val stageDocs = s"compact-g$gen/docs"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/compact-g$gen"))
@@ -492,7 +518,10 @@ object IndexStore {
         explode(graft.plans.DecodeBlock($"payload", $"n")).as("p"))
       .select($"shardId", $"term", $"p.docId".as("docId"),
         $"p.tf".as("tf"), $"p.dl".as("dl"))
-    val blocks = IndexBuilder.encodePostings(spark, postings, cfg)
+    // re-encode with the MANIFEST's block size — the manifest is the truth
+    // about the on-disk layout, whatever cfg the caller passed
+    val blocks = IndexBuilder.encodePostings(spark, postings,
+        cfg.copy(blockSize = m.blockSize))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lineage = blocks
       .groupBy($"shardId")
@@ -514,7 +543,7 @@ object IndexStore {
       blockDirs = Seq(stageBlocks),
       docDirs = Seq(stageDocs),
       metrics = m.metrics ++ Map(
-        "compactGen" -> gen.toDouble,
+        "dirGen" -> gen.toDouble,
         "compactedDirs" -> m.blockDirs.size.toDouble))
     if (failBeforeCommit)
       throw new RuntimeException("injected failure before compact commit")

@@ -139,6 +139,62 @@ class IncrementalSpec extends AnyFunSuite {
     // compacting a single-dir index is a no-op
     assert(IndexStore.compact(spark, dir, cfg).manifest.blockDirs ==
       compacted.manifest.blockDirs)
+
+    // regression: an append AFTER a compact must not reuse a staging name
+    // that collides with (and deletes) the live termstats dir
+    val delta2 = shiftConvs(TranscriptGen.turns(seed = 35, nConvs = 10), "c-")
+    val delta2Ds = spark.createDataset(delta2)(org.apache.spark.sql.Encoders.product[Turn])
+    IndexStore.appendSnapshot(spark, delta2Ds, dir, "snap-delta2", cfg)
+    val idx3 = IndexStore.load(spark, dir)
+    val oracle3 = OracleBM25.corpus(baseTurns ++ deltaTurns ++ delta2, cfg.analyzer)
+    assert(idx3.manifest.docCount == oracle3.n)
+    val got3 = QueryEngine.wandTopK(spark, idx3.blocks, idx3.termStats,
+      idx3.corpus, "term0000 term0001", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got3 == OracleBM25.topK(oracle3, "term0000 term0001", 10, cfg.analyzer))
+  }
+
+  test("append is idempotent under at-least-once retry (same snapshotId = no-op)") {
+    val baseTurns = shiftConvs(TranscriptGen.turns(seed = 36, nConvs = 15), "a-")
+    val deltaTurns = shiftConvs(TranscriptGen.turns(seed = 37, nConvs = 10), "b-")
+    val dir = Files.createTempDirectory("graft-incr-idem").toString
+    val baseDs = spark.createDataset(baseTurns)(org.apache.spark.sql.Encoders.product[Turn])
+    val deltaDs = spark.createDataset(deltaTurns)(org.apache.spark.sql.Encoders.product[Turn])
+    IndexStore.build(spark, baseDs, dir, snapshotId = "snap-base", cfg)
+    val first = IndexStore.appendSnapshot(spark, deltaDs, dir, "snap-delta", cfg)
+    // a foreachBatch retry re-delivers the committed batch: must not
+    // double-append (docCount inflation, duplicated docs, doubled df)
+    val retry = IndexStore.appendSnapshot(spark, deltaDs, dir, "snap-delta", cfg)
+    assert(retry.manifest.docCount == first.manifest.docCount)
+    assert(retry.manifest.blockDirs == first.manifest.blockDirs)
+  }
+
+  test("config-change rebuild survives a crash: no stale lineage resurrects missing shards") {
+    val turns = TranscriptGen.turns(seed = 38, nConvs = 20)
+    val ds = spark.createDataset(turns)(org.apache.spark.sql.Encoders.product[Turn])
+    val dir = Files.createTempDirectory("graft-cfg-crash").toString
+    IndexStore.build(spark, ds, dir, snapshotId = "same-id", cfg)
+    // rebuild under the SAME snapshotId with different params, crashing
+    // after 2 shard commits — the stale complete manifest must not seed
+    // the new lineage or the resume would skip never-written shards
+    val cfg2 = cfg.copy(params = graft.model.Bm25Params(k1 = 1.5))
+    intercept[RuntimeException] {
+      IndexStore.build(spark, ds, dir, snapshotId = "same-id", cfg2,
+        commitBatchShards = 1, failAfterShards = Some(2))
+    }
+    val resumed = IndexStore.build(spark, ds, dir, snapshotId = "same-id", cfg2)
+    assert(resumed.manifest.complete && resumed.manifest.k1 == 1.5)
+    val ids = resumed.manifest.shards.map(_.shardId)
+    assert(ids.distinct.size == ids.size, "duplicate shard lineage entries")
+    // every document is queryable => no shard silently missing
+    val idx = IndexStore.load(spark, dir)
+    val oracle = OracleBM25.corpus(turns, cfg2.analyzer)
+    val p2 = graft.model.Bm25Params(k1 = 1.5)
+    val want = OracleBM25.topK(oracle, "term0000", 10, cfg2.analyzer, p2)
+    val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "term0000", 10, cfg2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "resumed config-change rebuild lost documents")
   }
 
   test("build refuses a stale index when analyzer/params changed under the same snapshotId") {
