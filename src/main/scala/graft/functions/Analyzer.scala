@@ -40,9 +40,17 @@ object Analyzer {
       .loadDefaultStopWords("english").toSet
 
   final case class Config(stopwords: Set[String]) {
-    /** Stable string pinned into the index manifest. */
-    def fingerprint: String =
-      s"lower+unicode-word-break+stop(${stopwords.size})"
+    /** Stable string pinned into the index manifest. Hashes the stopword
+      * CONTENT (not just the count): two different sets of equal size must
+      * not fingerprint alike, or the analyzer-mismatch guards in
+      * IndexStore would silently accept a mixed-analyzer index.
+      */
+    def fingerprint: String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(stopwords.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+      s"lower+unicode-word-break+stop(${stopwords.size};$digest)"
+    }
   }
   val default: Config = Config(englishStopwords)
   val noStopwords: Config = Config(Set.empty)
@@ -63,10 +71,13 @@ object Analyzer {
   }
 
   /** Catalyst-native analyzer: Column of array<string>. Stays inside
-    * whole-stage codegen (no UDF).
+    * whole-stage codegen (no UDF). Lowercasing goes through the custom
+    * `lower_root` expression: Spark's built-in `lower()` uses the JVM
+    * DEFAULT locale on its non-ASCII slow path, which would break parity
+    * with `tokenize`'s Locale.ROOT on e.g. tr-TR JVMs.
     */
   def tokensCol(text: Column, cfg: Config = default): Column = {
-    val toks = regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+    val toks = regexp_extract_all(graft.plans.LowerRoot(text), lit(TokenPattern), lit(0))
     if (cfg.stopwords.isEmpty) toks
     // custom expression: O(1) interned-hash-set lookup per token instead of
     // a 181-literal isin chain (the build's hottest stage — see

@@ -194,11 +194,12 @@ object IndexBuilder {
       }
   }
 
-  /** BM25 per-term partial (without idf): tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
-    * Formula /root/reference/data_processing/Lexical_indexing/bm25_kernel.cu:62-64.
+  /** BM25 per-term partial (without idf) — delegates to the ONE formula
+    * definition in [[graft.query.Bm25.partial]] so the block-bound math
+    * can never drift from the scoring paths.
     */
   def partial(tf: Int, dl: Int, k1: Double, b: Double, avgdl: Double): Double =
-    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    graft.query.Bm25.partial(tf, dl, k1, b, avgdl)
 
   /** Streaming encoder: groups a (shardId, term, docId)-sorted iterator into
     * blocks of <= blockSize postings without materializing a term's full

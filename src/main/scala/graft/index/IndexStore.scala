@@ -223,6 +223,12 @@ object IndexStore {
         m.shards.map(_.shardId).toSet
       case _ => Set.empty
     }
+    // a REBUILD (different snapshot or changed config) is about to
+    // overwrite docs/ and delete blocks/ that the existing manifest may
+    // still reference as complete — invalidate it first, so a crash in
+    // that window can never serve new docs against old blocks
+    if (committed.isEmpty)
+      existing.foreach(m => writeManifest(dir, m.copy(complete = false)))
 
     def now() = System.nanoTime()
     val tRel0 = now()
@@ -272,19 +278,27 @@ object IndexStore {
     val corpus = CorpusStats(n, avgdl)
     val encodeSec = (now() - tEnc0) / 1e9
 
+    // degenerate corpora: a parquet dir written from ZERO rows has no part
+    // files and cannot be read back — the manifest must simply not
+    // reference it (load() substitutes empty datasets)
+    val blockDirs = if (lineage.isEmpty) Seq.empty[String] else Seq("blocks")
+    val docDirs = if (n == 0) Seq.empty[String] else Seq("docs")
+    val tsDir = if (lineage.isEmpty) "" else "termstats-v0"
+
     // term stats from the blocks cache (df = Σ block n per term), written
     // CONCURRENTLY with the shard commits below — independent jobs over the
     // same cache. Written UNCONDITIONALLY (also on resume): a real crash can
     // kill the stats job after the first shard commit, and a resumed run
     // must not finalize an index with missing/partial idf.
-    val tsDir = "termstats-v0"
     val tAux0 = now()
-    val auxF: Future[Unit] = Future {
-      blocks.groupBy($"term")
-        .agg(sum($"n").as("df"))
-        .withColumn("idf", log((lit(n) + 1.0) / ($"df" + 1.0)))
-        .write.mode("overwrite").parquet(s"$dir/$tsDir")
-    }
+    val auxF: Future[Unit] =
+      if (lineage.isEmpty) Future.successful(())
+      else Future {
+        blocks.groupBy($"term")
+          .agg(sum($"n").as("df"))
+          .withColumn("idf", log((lit(n) + 1.0) / ($"df" + 1.0)))
+          .write.mode("overwrite").parquet(s"$dir/$tsDir")
+      }
 
     val tCommit0 = now()
     val allShards = lineage.keys.toSeq.sorted
@@ -299,11 +313,15 @@ object IndexStore {
         committed.contains(s.shardId) && lineage.contains(s.shardId))).getOrElse(Nil)
     var commitsThisRun = 0
 
+    // generation counter survives rebuilds so later append/compact staging
+    // names stay monotonic even over a dir with leftover older generations
+    val baseGen = existing.flatMap(_.metrics.get("dirGen")).getOrElse(0.0)
+
     def partialManifest(complete: Boolean, metrics: Map[String, Double]) = Manifest(
       snapshotId, cfg.analyzer.fingerprint, cfg.params.k1, cfg.params.b,
       cfg.numShards, shardSize, cfg.blockSize, corpus.docCount,
-      corpus.avgdl, done.sortBy(_.shardId), metrics,
-      blockDirs = Seq("blocks"), docDirs = Seq("docs"), termstatsDir = tsDir,
+      corpus.avgdl, done.sortBy(_.shardId), metrics + ("dirGen" -> baseGen),
+      blockDirs = blockDirs, docDirs = docDirs, termstatsDir = tsDir,
       complete)
 
     val pending = allShards.filterNot(committed.contains)
@@ -354,6 +372,19 @@ object IndexStore {
     )
     val m = partialManifest(complete = true, metrics)
     writeManifest(dir, m)
+    // post-commit cleanup: top-level dirs the SUPERSEDED manifest
+    // referenced (older delta-g*/compact-g*/termstats-g* generations) that
+    // the fresh manifest does not — a rebuild over a long append lifecycle
+    // must not leak them forever. No-op on resume (same dirs).
+    if (committed.isEmpty) existing.foreach { old =>
+      val keep = (m.blockDirs ++ m.docDirs ++ Seq(m.termstatsDir))
+        .filter(_.nonEmpty).map(_.split('/').head).toSet
+      (old.blockDirs ++ old.docDirs ++ Seq(old.termstatsDir))
+        .filter(_.nonEmpty).map(_.split('/').head).distinct
+        .filterNot(keep.contains)
+        .foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$dir/$d")))
+    }
     blocks.unpersist()
     BuildResult(m, dir)
   }
@@ -396,6 +427,9 @@ object IndexStore {
       s"BM25 param mismatch: index=(${base.k1},${base.b}) cfg=(${cfg.params.k1},${cfg.params.b})")
     require(base.blockSize == cfg.blockSize,
       s"blockSize mismatch: index=${base.blockSize} cfg=${cfg.blockSize}")
+    // appending onto an EMPTY base (degenerate corpus) is just a build
+    if (base.docCount == 0)
+      return build(spark, newTurns, dir, snapshotId, cfg)
 
     // staging names use a MONOTONIC generation (shared with compact), never
     // a dir count: blockDirs.length resets after a compact, and a reused
@@ -409,37 +443,55 @@ object IndexStore {
     Seq(s"$dir/delta-g$gen", s"$dir/$tsDir").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
 
-    val rel = IndexBuilder.relations(spark, newTurns, s"$dir/$deltaDocsDir", cfg,
+    // prepare, not relations: the delta postings stream through the encode
+    // shuffle ONCE, uncached, and all stats derive from the ~100x-smaller
+    // encoded blocks — the same bandwidth-conscious shape as build()
+    val p0 = IndexBuilder.prepare(spark, newTurns, s"$dir/$deltaDocsDir", cfg,
       idOffset = base.docCount, fixedShardSize = Some(base.shardSize))
+    if (p0.n == 0) { // nothing indexable in this snapshot: no-op
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/delta-g$gen"))
+      return BuildResult(base, dir)
+    }
 
-    val blocks = IndexBuilder.encodeBlocks(spark, rel, cfg)
+    val blocks = IndexBuilder.encodePostings(spark, p0.postings, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deltaLineage: Map[Int, ShardLineage] = blocks
+    val deltaRows = blocks
       .groupBy($"shardId")
       .agg(sum($"n").as("postings"), count(lit(1)).as("blocks"),
         sum(length($"payload")).as("payloadBytes"),
-        sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"))
+        sum(xxhash64($"term", $"payload").bitwiseAND(lit(0xffffffffL))).as("checksum"),
+        sum($"sumTf").as("sumTf"))
       .collect()
+    val deltaLineage: Map[Int, ShardLineage] = deltaRows
       .map(r => r.getInt(0) -> ShardLineage(r.getInt(0), r.getLong(1),
         r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
+    val deltaTokens = deltaRows.map(_.getLong(5)).sum
 
-    blocks
-      .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
-      .sortWithinPartitions($"shardId", $"term", $"minDocId")
-      .write.mode("overwrite").partitionBy("shardId").parquet(s"$dir/$deltaBlocksDir")
+    // a delta of only token-less docs (e.g. all-stopword text) produces
+    // ZERO blocks: a parquet write of zero rows leaves an unreadable dir,
+    // so reference the delta blocks dir only when it will hold data
+    val hasBlocks = deltaLineage.nonEmpty
+    if (hasBlocks)
+      blocks
+        .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
+        .sortWithinPartitions($"shardId", $"term", $"minDocId")
+        .write.mode("overwrite").partitionBy("shardId").parquet(s"$dir/$deltaBlocksDir")
 
     // merged corpus stats: token totals are exact integers, so the combined
     // avgdl is exact too
-    val nNew = base.docCount + rel.corpus.docCount
-    val totTokens = math.round(base.avgdl * base.docCount) +
-      math.round(rel.corpus.avgdl * rel.corpus.docCount)
+    val nNew = base.docCount + p0.n
+    val totTokens = math.round(base.avgdl * base.docCount) + deltaTokens
     val avgdlNew = if (nNew == 0) 0.0 else totTokens.toDouble / nNew
 
-    // merged term stats: df is additive; idf recomputed for the merged N.
-    // Written to the fresh versioned dir (never overwrites the live one).
-    val baseTs = spark.read.parquet(s"$dir/${base.termstatsDir}").select($"term", $"df")
-    val deltaTs = rel.postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    // merged term stats: df is additive (delta df = Σ block n per term);
+    // idf recomputed for the merged N. Written to the fresh versioned dir
+    // (never overwrites the live one).
+    val baseTs =
+      if (base.termstatsDir.isEmpty)
+        spark.emptyDataset[(String, Long)].toDF("term", "df")
+      else spark.read.parquet(s"$dir/${base.termstatsDir}").select($"term", $"df")
+    val deltaTs = blocks.groupBy($"term").agg(sum($"n").as("df"))
     baseTs.unionByName(deltaTs)
       .groupBy($"term").agg(sum($"df").as("df"))
       .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
@@ -460,11 +512,11 @@ object IndexStore {
       cfg.params.b, base.numShards, base.shardSize, cfg.blockSize,
       nNew, avgdlNew, mergedLineage,
       base.metrics ++ Map(
-        "appendedTurns" -> rel.corpus.docCount.toDouble,
+        "appendedTurns" -> p0.n.toDouble,
         "dirGen" -> gen.toDouble,
         "skewRatio" -> (if (perShard.isEmpty) 1.0
           else perShard.max / (perShard.sum / perShard.size))),
-      blockDirs = base.blockDirs :+ deltaBlocksDir,
+      blockDirs = if (hasBlocks) base.blockDirs :+ deltaBlocksDir else base.blockDirs,
       docDirs = base.docDirs :+ deltaDocsDir,
       termstatsDir = tsDir,
       complete = true)
@@ -472,10 +524,10 @@ object IndexStore {
       throw new RuntimeException("injected failure before append commit")
     writeManifest(dir, m) // THE commit point
     // post-commit cleanup: the superseded term-stats dir is unreferenced
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(s"$dir/${base.termstatsDir}"))
+    if (base.termstatsDir.nonEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir/${base.termstatsDir}"))
     blocks.unpersist()
-    rel.unpersistAll()
     BuildResult(m, dir)
   }
 
@@ -504,7 +556,7 @@ object IndexStore {
     val m = readManifest(dir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
     require(m.complete, s"index at $dir is incomplete")
-    if (m.blockDirs.size == 1 && m.docDirs.size == 1) return BuildResult(m, dir)
+    if (m.blockDirs.size <= 1 && m.docDirs.size <= 1) return BuildResult(m, dir)
     val idx = load(spark, dir)
     // monotonic generation (shared counter with appendSnapshot) => staging
     // names never collide with live dirs
@@ -532,15 +584,18 @@ object IndexStore {
       .map(r => ShardLineage(r.getInt(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
       .sortBy(_.shardId).toSeq
-    blocks
-      .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
-      .sortWithinPartitions($"shardId", $"term", $"minDocId")
-      .write.mode("overwrite").partitionBy("shardId").parquet(s"$dir/$stageBlocks")
+    // an index can legitimately hold docs but zero postings (token-less
+    // corpus): never reference a zero-row parquet dir
+    if (lineage.nonEmpty)
+      blocks
+        .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
+        .sortWithinPartitions($"shardId", $"term", $"minDocId")
+        .write.mode("overwrite").partitionBy("shardId").parquet(s"$dir/$stageBlocks")
     idx.docs.toDF().write.mode("overwrite").parquet(s"$dir/$stageDocs")
 
     val m2 = m.copy(
       shards = lineage,
-      blockDirs = Seq(stageBlocks),
+      blockDirs = if (lineage.nonEmpty) Seq(stageBlocks) else Seq.empty,
       docDirs = Seq(stageDocs),
       metrics = m.metrics ++ Map(
         "dirGen" -> gen.toDouble,
@@ -578,16 +633,22 @@ object IndexStore {
     // int column and prunes shard dirs on shardId predicates for free.
     // Each manifest-listed dir (base + committed deltas) is discovered
     // independently, then unioned.
-    val blocks = m.blockDirs.map { d =>
-      spark.read.parquet(s"$dir/$d")
-        .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
-          $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf", $"payload")
-    }.reduce(_.unionByName(_)).as[PostingBlock]
-    val docs = m.docDirs.map(d => spark.read.parquet(s"$dir/$d"))
-      .reduce(_.unionByName(_)).as[Doc]
-    Index(dir, m,
-      blocks,
-      docs,
-      spark.read.parquet(s"$dir/${m.termstatsDir}").as[TermStat])
+    // degenerate corpora leave unreferenced dirs out of the manifest
+    // entirely (zero-row parquet dirs are unreadable) — substitute empties
+    val blocks =
+      if (m.blockDirs.isEmpty) spark.emptyDataset[PostingBlock]
+      else m.blockDirs.map { d =>
+        spark.read.parquet(s"$dir/$d")
+          .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
+            $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf", $"payload")
+      }.reduce(_.unionByName(_)).as[PostingBlock]
+    val docs =
+      if (m.docDirs.isEmpty) spark.emptyDataset[Doc]
+      else m.docDirs.map(d => spark.read.parquet(s"$dir/$d"))
+        .reduce(_.unionByName(_)).as[Doc]
+    val termStats =
+      if (m.termstatsDir.isEmpty) spark.emptyDataset[TermStat]
+      else spark.read.parquet(s"$dir/${m.termstatsDir}").as[TermStat]
+    Index(dir, m, blocks, docs, termStats)
   }
 }

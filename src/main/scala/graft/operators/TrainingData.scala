@@ -35,6 +35,12 @@ import graft.functions.Analyzer
   *     from all-pairs to hub pairs (every member against the bucket's
   *     min doc_id) — linear, and still links a giant near-duplicate
   *     cluster into one connected component for dedup purposes.
+  *
+  * Cache lifecycle: the multi-consumer intermediates (shingle sets, LSH
+  * candidates, signatures) are persist()ed at MEMORY_AND_DISK and left to
+  * Spark's LRU eviction — these are one-shot sweep jobs, not a serving
+  * path; a long-lived session embedding them should unpersist after its
+  * terminal action.
   */
 object TrainingData {
 

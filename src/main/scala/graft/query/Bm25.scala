@@ -27,11 +27,16 @@ object Bm25 {
     */
   def idf(n: Long, df: Long): Double = java.lang.StrictMath.log((n + 1.0) / (df + 1.0))
 
-  /** tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — written with the exact
-    * association mirrored by the Catalyst expression in QueryEngine.
+  /** tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — THE single definition, with
+    * the exact association mirrored by the Catalyst expression in
+    * QueryEngine; IndexBuilder.partial and the WAND cursor delegate here
+    * so no second copy can drift and break bit-identity.
     */
+  def partial(tf: Int, dl: Int, k1: Double, b: Double, avgdl: Double): Double =
+    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
   def partial(tf: Int, dl: Int, avgdl: Double, p: Bm25Params): Double =
-    tf * (p.k1 + 1.0) / (tf + p.k1 * (1.0 - p.b + p.b * dl / avgdl))
+    partial(tf, dl, p.k1, p.b, avgdl)
 
   def contribution(qtf: Int, idf: Double, tf: Int, dl: Int, avgdl: Double, p: Bm25Params): Double =
     qtf * idf * partial(tf, dl, avgdl, p)

@@ -233,8 +233,7 @@ object QueryEngine {
       def curBlockUb: Double = blockUb(bi)
 
       def currentContribution(): Double =
-        weight * (decoded(pi).tf * (k1 + 1.0) /
-          (decoded(pi).tf + k1 * (1.0 - b + b * decoded(pi).dl / avgdl)))
+        weight * Bm25.partial(decoded(pi).tf, decoded(pi).dl, k1, b, avgdl)
 
       def advance(): Unit = {
         pi += 1

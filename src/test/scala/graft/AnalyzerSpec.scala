@@ -82,4 +82,22 @@ class AnalyzerSpec extends AnyFunSuite {
       else assert(sparkToks.toSeq == scalaToks, s"mismatch on: [$s]")
     }
   }
+
+  test("lower_root pins Locale.ROOT semantics regardless of JVM default locale") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Turkish dotted/dotless I, German sharp s, Greek final sigma, full
+    // width: exactly the strings where default-locale lowercasing diverges
+    Seq("İstanbul IS nice", "STRASSE ẞ", "ΟΔΟΣ", "ＡＢＣ", "plain ascii TEXT")
+      .foreach { s =>
+        val got = graft.plans.LowerRoot.lower(UTF8String.fromString(s)).toString
+        assert(got == s.toLowerCase(java.util.Locale.ROOT), s"[$s]")
+      }
+  }
+
+  test("analyzer fingerprint hashes stopword CONTENT, not just the count") {
+    val a = Analyzer.Config(Set("foo"))
+    val b = Analyzer.Config(Set("bar"))
+    assert(a.fingerprint != b.fingerprint)
+    assert(a.fingerprint == Analyzer.Config(Set("foo")).fingerprint)
+  }
 }

@@ -169,6 +169,47 @@ class IncrementalSpec extends AnyFunSuite {
     assert(retry.manifest.blockDirs == first.manifest.blockDirs)
   }
 
+  test("degenerate corpora: empty build, empty delta no-op, all-stopword delta") {
+    import java.sql.Timestamp
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    val dir = Files.createTempDirectory("graft-degenerate").toString
+    val blank = Seq(Turn("c0", 0, "user", "   ", "", new Timestamp(0L)),
+      Turn("c0", 1, "user", "", "", new Timestamp(1L)))
+    // build over a corpus with ZERO indexable turns: loadable, empty answers
+    val r0 = IndexStore.build(spark, spark.createDataset(blank)(enc), dir, "snap-empty", cfg)
+    assert(r0.manifest.complete && r0.manifest.docCount == 0)
+    val idx0 = IndexStore.load(spark, dir)
+    assert(idx0.blocks.isEmpty && idx0.docs.isEmpty)
+    assert(QueryEngine.wandTopK(spark, idx0.blocks, idx0.termStats,
+      idx0.corpus, "term0000", 5, cfg).collect().isEmpty)
+
+    // appending onto the empty base behaves like a fresh build
+    val real = TranscriptGen.turns(seed = 44, nConvs = 10)
+    IndexStore.appendSnapshot(spark, spark.createDataset(real)(enc), dir, "snap-real", cfg)
+    val o1 = OracleBM25.corpus(real, cfg.analyzer)
+    assert(IndexStore.load(spark, dir).manifest.docCount == o1.n)
+
+    // an all-stopword delta adds a token-less doc (counted in N/avgdl)
+    // without producing any posting blocks — index must stay loadable
+    val stop = Seq(Turn("zz-c", 0, "user", "the and of is a", "", new Timestamp(2L)))
+    IndexStore.appendSnapshot(spark, spark.createDataset(stop)(enc), dir, "snap-stop", cfg)
+    val idx2 = IndexStore.load(spark, dir)
+    val o2 = OracleBM25.corpus(real ++ stop, cfg.analyzer)
+    assert(idx2.manifest.docCount == o2.n)
+    assert(idx2.manifest.avgdl == o2.avgdl)
+    val got = QueryEngine.wandTopK(spark, idx2.blocks, idx2.termStats,
+      idx2.corpus, "term0000 term0001", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == OracleBM25.topK(o2, "term0000 term0001", 10, cfg.analyzer))
+
+    // a delta with zero indexable turns is a committed no-op
+    val r3 = IndexStore.appendSnapshot(spark,
+      spark.createDataset(blank.map(t => t.copy(conv_id = "zzz-" + t.conv_id)))(enc),
+      dir, "snap-blank", cfg)
+    assert(r3.manifest.docCount == idx2.manifest.docCount)
+    assert(r3.manifest.snapshotId == "snap-stop")
+  }
+
   test("config-change rebuild survives a crash: no stale lineage resurrects missing shards") {
     val turns = TranscriptGen.turns(seed = 38, nConvs = 20)
     val ds = spark.createDataset(turns)(org.apache.spark.sql.Encoders.product[Turn])
