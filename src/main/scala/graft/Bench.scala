@@ -48,11 +48,13 @@ object Bench {
   }
 
   private def session(cpus: Int): SparkSession = {
+    // NOTE: driver heap comes from the LAUNCHER (sbt -Xmx / spark-submit
+    // --driver-memory); setting spark.driver.memory here after the JVM is
+    // up would be a silent no-op, so we deliberately don't
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "32g"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
@@ -152,7 +154,12 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(fn(spark, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      // noop sink, not count(): count() lets ColumnPruning drop every
+      // projected expression, so projection-only queries would time a
+      // zero-column metadata scan instead of the actual work
+      val sec = try time(fn(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())._2
+        catch { case _: Throwable => -1.0 }
       name -> sec
     }
     spark.stop()

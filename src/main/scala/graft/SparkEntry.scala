@@ -50,7 +50,14 @@ object SparkEntry {
     idxCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = s"${sys.props("java.io.tmpdir")}/graft-index-$safe"
-      IndexStore.build(s, turns(s, dir), out, snapshotId = dir, cfg)
+      // snapshotId must change whenever the index CONTENT would: fold in
+      // the source fixture's fingerprint (size+mtime) and the engine's
+      // format/content versions, or a /tmp index built by an older engine
+      // (or from regenerated fixtures) would be silently served
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val snap = s"$dir|len${src.length()}|mt${src.lastModified()}" +
+        s"|fv${IndexStore.FormatVersion}|cv${IndexStore.ContentVersion}"
+      IndexStore.build(s, turns(s, dir), out, snapshotId = snap, cfg)
       IndexStore.load(s, out)
     })
 
@@ -220,11 +227,15 @@ object SparkEntry {
        |    TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS ts
        |  FROM documents)""".stripMargin
 
+  // blank-test mirrors Java String.trim.nonEmpty EXACTLY ("has any char
+  // above U+0020") — DuckDB's trim() strips spaces only, so a "\t"-only
+  // text would get a doc_id in the oracle but not in the engine and shift
+  // every subsequent id
   private def cteDocs: String =
     """docs AS (
       |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
       |         conv_id, turn_idx, text
-      |  FROM transcripts WHERE text IS NOT NULL AND trim(text) <> '')""".stripMargin
+      |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\x00-\x20]'))""".stripMargin
 
   private def cteTokens: String =
     s"""toks AS (

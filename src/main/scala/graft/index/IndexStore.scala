@@ -50,6 +50,13 @@ object IndexStore {
     * live dir lists (blockDirs/docDirs/termstatsDir) for atomic appends. */
   val FormatVersion = 4
 
+  /** Bumped whenever the index CONTENT for identical input would change
+    * (codec, tokenizer, docId assignment, block layout within a format) —
+    * callers that cache built indexes keyed by snapshot fold this in so a
+    * stale on-disk index from an older engine is rebuilt, not served.
+    */
+  val ContentVersion = 2
+
   final case class ShardLineage(
       shardId: Int,
       postings: Long,

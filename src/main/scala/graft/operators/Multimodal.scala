@@ -62,6 +62,7 @@ object Multimodal {
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull) // a null payload has nothing to decode
       .select(col("doc_id"),
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
           (col("doc_id") % 3).cast("int") + 1).as("mime"),
@@ -108,7 +109,7 @@ object Multimodal {
            |         WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
            |    strlen(text) AS n_bytes,
            |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-           |  FROM documents)
+           |  FROM documents WHERE text IS NOT NULL)
            |SELECT doc_id, mime, CAST(n_bytes AS INT) AS n_bytes,
            |  CAST(64 + h % 1024 AS INT) AS width,
            |  CAST(64 + (h >> 16) % 1024 AS INT) AS height,

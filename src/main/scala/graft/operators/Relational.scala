@@ -18,11 +18,13 @@ object Relational {
     s.read.parquet(s"$dir/$name.parquet")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P1: projection + pushed filter (LexicalIndexer.scala:26-30 shape)
+    // P1: projection + pushed filter (LexicalIndexer.scala:26-30 shape).
+    // Cutoff via cast-in-session-TZ, NOT Timestamp.valueOf (which parses
+    // in the JVM default timezone and would shift the boundary off-UTC)
     "p1_select_prune" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))),
+        .filter(col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp"))),
 
     // P3+P4: null coalesce + concat (LexicalIndexer.scala:27-28)
     "p3_coalesce_concat" -> ((s, dir) =>

@@ -97,9 +97,13 @@ object TrainingData {
     */
   def boundedPairs(items: DataFrame, keys: Seq[String], idCol: String,
       cap: Long = BucketCap): DataFrame = {
-    val stats = items.groupBy(keys.map(col): _*)
+    // four consumers below (stats, both self-join sides, hub pairs): an
+    // unpersisted `items` would re-run its whole upstream pipeline (e.g.
+    // the 16 min-hash aggregations) once per consumer
+    val it = items.persist()
+    val stats = it.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bkt_n"), min(col(idCol)).as("bkt_hub"))
-    val withN = items.join(stats, keys)
+    val withN = it.join(stats, keys)
     val small = withN.filter(col("bkt_n") <= cap).select(col(idCol) +: keys.map(col): _*)
     val allPairs = small.as("x").join(small.as("y"), keys)
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
@@ -238,13 +242,22 @@ object TrainingData {
   private[operators] def planePositiveDims(j: Int, dims: Int): Seq[Int] =
     (0 until dims).filter(d => OddHexDigits.contains(md5hex(s"$j|$d").substring(0, 1)))
 
-  private val cosSql =
-    """aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"""
+  /** THE cosine-similarity expression (rounded to 4 dp), parameterized by
+    * column name so every ANN/dedup path — and via [[cosineSql]] every
+    * oracle — uses one definition that cannot drift.
+    */
+  private def cosineOf(a: String, b: String): Column = round(
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+      (sqrt(expr(s"aggregate($a, 0D, (acc, x) -> acc + x * x)")) *
+        sqrt(expr(s"aggregate($b, 0D, (acc, x) -> acc + x * x)"))), 4)
 
-  private def cosineCol: Column = round(
-    expr(cosSql) /
-      (sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")) *
-        sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)"))), 4)
+  private def cosineCol: Column = cosineOf("v", "qv")
+
+  /** DuckDB twin of [[cosineOf]] (list_sum fold order matches aggregate's). */
+  private def cosineSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
+       |    (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |     sqrt(list_sum(list_transform($b, x -> x * x)))), 4)""".stripMargin
 
   /** Brute-force cosine top-k (the exactness baseline and recall oracle). */
   def annCosineTopK(emb: DataFrame, k: Int = 10): DataFrame = {
@@ -310,10 +323,7 @@ object TrainingData {
     val va = e.select(col("vec_id").as("id_a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (sqrt(expr("aggregate(va, 0D, (acc, x) -> acc + x * x)")) *
-            sqrt(expr("aggregate(vb, 0D, (acc, x) -> acc + x * x)"))), 4))
+      .withColumn("cos", cosineOf("va", "vb"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -387,6 +397,11 @@ object TrainingData {
 
   // ----------------------------------------------------------- oracle SQL
 
+  // Known cross-engine caveat: DuckDB lower() is utf8proc's simple 1:1
+  // mapping while the engine pins Java Locale.ROOT full case mapping —
+  // they diverge on a handful of codepoints (e.g. U+0130 'İ' → "i̇" in
+  // Java vs "i" in DuckDB). The driver fixtures contain none of them; a
+  // corpus that did would need a custom DuckDB UDF oracle for tokens.
   private val tokSql = "regexp_extract_all(lower(text), '[\\pL\\pN]+')"
 
   /** Shared shingle CTEs (mirrors [[shingleSets]] incl. the df cap). */
@@ -472,9 +487,7 @@ object TrainingData {
        |bk AS (SELECT vec_id, v, $bucketSqlTerms AS bucket FROM e),
        |q AS (SELECT v AS qv, bucket AS qbucket FROM bk WHERE vec_id = 0)
        |SELECT bk.vec_id,
-       |  round(list_sum(list_transform(range(1, len(bk.v) + 1), i -> bk.v[i] * q.qv[i])) /
-       |    (sqrt(list_sum(list_transform(bk.v, x -> x * x))) *
-       |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+       |  ${cosineSql("bk.v", "q.qv")} AS cos
        |FROM bk, q
        |WHERE bk.vec_id > 0
        |  AND bit_count(xor(CAST(bk.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= $AnnProbeHamming
@@ -494,9 +507,7 @@ object TrainingData {
        |         ON x.probe = y.probe AND x.vec_id < y.vec_id),
        |scored AS (
        |  SELECT c.id_a, c.id_b,
-       |    round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
-       |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-       |       sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+       |    ${cosineSql("a.v", "b.v")} AS cos
        |  FROM cand c JOIN bk a ON c.id_a = a.vec_id JOIN bk b ON c.id_b = b.vec_id)
        |SELECT id_a, id_b, cos FROM scored WHERE cos >= $EmbCosineThreshold""".stripMargin
   }
@@ -512,15 +523,13 @@ object TrainingData {
       "dedup_minhash_lsh" -> minhashOracle,
       "dedup_simhash" -> simhashOracle,
       "ann_cosine_topk" ->
-        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          |           FROM embeddings),
-          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-          |SELECT e.vec_id,
-          |  round(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i])) /
-          |    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
-          |     sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
-          |FROM e, q WHERE e.vec_id > 0
-          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |  ${cosineSql("e.v", "q.qv")} AS cos
+           |FROM e, q WHERE e.vec_id > 0
+           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
       "ann_lsh_bucket" -> annLshOracle,
       "dedup_embedding_cosine" -> embCosineOracle,
       "lang_id" ->

@@ -16,7 +16,6 @@ object TestKit {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.driver.memory", "8g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
