@@ -238,6 +238,54 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got == want, "resumed config-change rebuild lost documents")
   }
 
+  test("lifecycle fuzz: random append/compact/crash-retry sequences stay oracle-exact") {
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    def ds(ts: Seq[Turn]) = spark.createDataset(ts)(enc)
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 991L)
+      val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
+      var corpus = shiftConvs(TranscriptGen.turns(seed * 7L, nConvs = 12), f"a$seed%02d-")
+      IndexStore.build(spark, ds(corpus), dir, s"fuzz-$seed-base", cfg)
+      (1 to 5).foreach { i =>
+        rnd.nextInt(3) match {
+          case 0 => // append, sometimes crashing just before the commit first
+            val delta = shiftConvs(
+              TranscriptGen.turns(seed * 100L + i, nConvs = 4 + rnd.nextInt(6)),
+              f"b$seed%02d$i%02d-")
+            if (rnd.nextBoolean()) intercept[RuntimeException] {
+              IndexStore.appendSnapshot(spark, ds(delta), dir, s"fuzz-$seed-$i", cfg,
+                failBeforeCommit = true)
+            }
+            IndexStore.appendSnapshot(spark, ds(delta), dir, s"fuzz-$seed-$i", cfg)
+            corpus ++= delta
+          case 1 => // compact, sometimes crashing just before the commit first
+            val m = IndexStore.readManifest(dir).get
+            val wouldRun = m.blockDirs.size > 1 || m.docDirs.size > 1
+            if (wouldRun && rnd.nextBoolean()) intercept[RuntimeException] {
+              IndexStore.compact(spark, dir, cfg, failBeforeCommit = true)
+            }
+            IndexStore.compact(spark, dir, cfg)
+          case 2 => // zero-indexable delta: must be a committed no-op
+            val before = IndexStore.readManifest(dir).get
+            val r = IndexStore.appendSnapshot(spark, ds(Seq.empty[Turn]), dir,
+              s"fuzz-$seed-noop$i", cfg)
+            assert(r.manifest.docCount == before.docCount)
+        }
+      }
+      val idx = IndexStore.load(spark, dir)
+      val oracle = OracleBM25.corpus(corpus, cfg.analyzer)
+      assert(idx.manifest.docCount == oracle.n, s"seed=$seed docCount")
+      assert(idx.manifest.avgdl == oracle.avgdl, s"seed=$seed avgdl")
+      Seq("term0000 term0001", "term0002", "term0010 term0030").foreach { q =>
+        val want = OracleBM25.topK(oracle, q, 10, cfg.analyzer)
+        val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+          idx.corpus, q, 10, cfg)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"seed=$seed q=[$q]")
+      }
+    }
+  }
+
   test("build refuses a stale index when analyzer/params changed under the same snapshotId") {
     val turns = TranscriptGen.turns(seed = 41, nConvs = 10)
     val ds = spark.createDataset(turns)(org.apache.spark.sql.Encoders.product[Turn])
