@@ -10,17 +10,8 @@ import graft.functions.Analyzer
   */
 class AnalyzerSpec extends AnyFunSuite {
 
-  /** Deterministic property runner over a ScalaCheck Gen (scalatestplus
-    * is not in the offline cache; seeded Gen sampling is equivalent here).
-    */
-  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit = {
-    val seed = org.scalacheck.rng.Seed(42L)
-    var s = seed
-    (0 until n).foreach { i =>
-      gen.apply(Gen.Parameters.default, s).foreach(check)
-      s = s.next
-    }
-  }
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    TestKit.forAllSeeded(gen, n)(check)
 
   private val cfg = Analyzer.default
 

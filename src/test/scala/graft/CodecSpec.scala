@@ -10,13 +10,8 @@ import graft.index.Codec
   */
 class CodecSpec extends AnyFunSuite {
 
-  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit = {
-    var s = org.scalacheck.rng.Seed(42L)
-    (0 until n).foreach { _ =>
-      gen.apply(Gen.Parameters.default, s).foreach(check)
-      s = s.next
-    }
-  }
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    TestKit.forAllSeeded(gen, n)(check)
 
   test("varint roundtrip across magnitudes") {
     val vals = Seq(0L, 1L, 127L, 128L, 300L, 16383L, 16384L,

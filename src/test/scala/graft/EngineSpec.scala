@@ -62,7 +62,10 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("per-turn text equality preserved end-to-end under stable ordering") {
-    val byId = rel.docs.collect().map(d => d.docId -> (d.conv_id, d.turn_idx, d.text)).toMap
+    val rows = rel.docs.collect()
+    // row count BEFORE collapsing to a map: duplicate docId rows must fail
+    assert(rows.length == oracle.docs.size, "docs row count != oracle")
+    val byId = rows.map(d => d.docId -> (d.conv_id, d.turn_idx, d.text)).toMap
     assert(byId.size == oracle.docs.size)
     oracle.docs.foreach { case (id, text) =>
       assert(byId(id)._3 == text, s"text mismatch at docId $id")

@@ -18,7 +18,9 @@ class GoldenSpec extends AnyFunSuite {
 
   test("engine matches committed goldens on the small tier") {
     val stream = getClass.getResourceAsStream("/golden-small.tsv")
-    assume(stream != null, "golden file missing — run graft.GoldenGen")
+    // hard failure, not assume(): a missing golden would silently CANCEL
+    // the only absolute drift gate (engine+oracle drifting together)
+    assert(stream != null, "golden file missing — run graft.GoldenGen")
     val lines = scala.io.Source.fromInputStream(stream, "UTF-8").getLines().toVector
     val want = lines.filter(_.nonEmpty).map { l =>
       val Array(qid, rank, docId, score) = l.split("\t")

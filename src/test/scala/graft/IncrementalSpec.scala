@@ -39,7 +39,9 @@ class IncrementalSpec extends AnyFunSuite {
     val idx = IndexStore.load(spark, dir)
 
     // base ids unmoved; delta ids continue after them
-    val allIds = idx.docs.collect().map(d => (d.conv_id, d.turn_idx) -> d.docId).toMap
+    val docRows = idx.docs.collect()
+    val allIds = docRows.map(d => (d.conv_id, d.turn_idx) -> d.docId).toMap
+    assert(docRows.length == allIds.size, "duplicate doc rows after append")
     baseIds.foreach { case (k, id) => assert(allIds(k) == id, s"base id moved for $k") }
     assert(allIds.size > baseIds.size)
     assert(allIds.values.max == allIds.size - 1) // dense
@@ -167,6 +169,14 @@ class IncrementalSpec extends AnyFunSuite {
     val retry = IndexStore.appendSnapshot(spark, deltaDs, dir, "snap-delta", cfg)
     assert(retry.manifest.docCount == first.manifest.docCount)
     assert(retry.manifest.blockDirs == first.manifest.blockDirs)
+    // and the POSTING CONTENT is untouched — manifest equality alone would
+    // miss a retry that re-appended rows into the existing delta dirs
+    val idx = IndexStore.load(spark, dir)
+    val oracle = OracleBM25.corpus(baseTurns ++ deltaTurns, cfg.analyzer)
+    val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "term0000 term0001", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == OracleBM25.topK(oracle, "term0000 term0001", 10, cfg.analyzer))
   }
 
   test("degenerate corpora: empty build, empty delta no-op, all-stopword delta") {

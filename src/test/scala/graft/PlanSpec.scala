@@ -34,14 +34,15 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val turns = spark.createDataset(TestKit.TranscriptGen.turns(seed = 5, nConvs = 10))
     val cfg = IndexBuilder.Config(docIdPartitions = 4, numShards = 8)
-    val rel = IndexBuilder.relations(spark, turns,
+    // prepare() returns the LAZY (pre-persist) postings plan — the one
+    // that actually runs in the production build — so an accidental second
+    // shuffle is visible here (a persisted relation would always render as
+    // an InMemoryTableScan and hide it)
+    val p0 = IndexBuilder.prepare(spark, turns,
       java.nio.file.Files.createTempDirectory("graft-docs").toString, cfg)
-    // postings read from the persisted relation: its plan is a cache scan,
-    // and the pre-persist plan contains no Exchange beyond DocIds' sort
-    val p = plan(rel.postings)
-    assert(p.contains("InMemoryTableScan") || !p.contains("Exchange"),
-      "postings recomputed with an exchange:\n" + p)
-    rel.unpersistAll()
+    val p = plan(p0.postings)
+    assert(!p.contains("Exchange"),
+      "postings plan acquired a shuffle before the encode exchange:\n" + p)
   }
 
   test("exhaustive top-k plans as TakeOrderedAndProject with broadcast stats") {

@@ -11,6 +11,24 @@ import graft.query.Bm25
 /** Shared session + deterministic fixtures (FIXTURES.md §1-§4). */
 object TestKit {
 
+  /** Deterministic property runner over a ScalaCheck Gen (scalatestplus
+    * is not in the offline cache; seeded Gen sampling is equivalent here).
+    * Fails loudly if the generator stops producing values — a filtered/
+    * failing Gen must not turn a property test into a vacuous pass.
+    */
+  def forAllSeeded[A](gen: org.scalacheck.Gen[A], n: Int)(check: A => Unit): Unit = {
+    var s = org.scalacheck.rng.Seed(42L)
+    var executed = 0
+    (0 until n).foreach { _ =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, s).foreach { a =>
+        check(a); executed += 1
+      }
+      s = s.next
+    }
+    assert(executed >= n / 2,
+      s"property ran only $executed/$n checks — generator mostly failing")
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
