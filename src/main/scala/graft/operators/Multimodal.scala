@@ -85,6 +85,32 @@ object Multimodal {
     }
   }
 
+  final case class FrameSample(doc_id: Long, mime: String, frame_idx: Int, frame_sig: String)
+
+  /** Frame sampling for video payloads: decode the container metadata once
+    * per row (per-partition decoder) and emit ~maxFrames evenly-strided
+    * frame indices with a deterministic per-frame signature — the shape a
+    * real pipeline uses to feed a vision encoder. A real decoder would
+    * extract the frame bytes where the stub derives a signature.
+    */
+  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.filter(_.mime == "video/mp4").flatMap { row =>
+        val (meta, _) = decoder.decode(row.media)
+        val step = math.max(1, meta.frames / maxFrames)
+        (0 until meta.frames by step).map { fi =>
+          md.reset()
+          val sig = md.digest(s"${row.doc_id}:$fi".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.substring(0, 16)
+          FrameSample(row.doc_id, row.mime, fi, sig)
+        }
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full DuckDB oracle: the stub's md5-derived values are recomputable in
     // SQL; features are emitted as per-element rounded doubles (the raw
@@ -93,29 +119,53 @@ object Multimodal {
       val f = extractFeatures(mediaTable(s, dir)).toDF()
       val featCols = (0 until 8).map(d =>
         round(element_at(col("features"), d + 1).cast("double"), 6).as(s"f$d"))
+      // resize: scale to fit a 224-pixel max dimension (integer floor on
+      // both engines — Spark / on ints is a double division, so floor+cast)
+      val resized = Seq(
+        floor(col("width") * 224 / greatest(col("width"), col("height")))
+          .cast("int").as("resized_w"),
+        floor(col("height") * 224 / greatest(col("width"), col("height")))
+          .cast("int").as("resized_h"))
       f.select(Seq(col("doc_id"), col("mime"), col("n_bytes"), col("width"),
-        col("height"), col("frames")) ++ featCols: _*)
-    })
+        col("height"), col("frames")) ++ resized ++ featCols: _*)
+    }),
+
+    "mm_frame_sample" -> ((s, dir) => sampleFrames(mediaTable(s, dir)).toDF())
   )
 
   def oracles: Map[String, String] = {
     val featCols = (0 until 8).map(d =>
       s"round(CAST(CAST(((h >> ${d * 7}) % 1000003) / 1000003.0 * 2 - 1 AS REAL) AS DOUBLE), 6) AS f$d")
       .mkString(",\n  ")
+    val mCte =
+      """m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+        |         WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    strlen(text) AS n_bytes,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin
     Map(
       "mm_features" ->
-        s"""WITH m AS (SELECT doc_id,
-           |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
-           |         WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-           |    strlen(text) AS n_bytes,
-           |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-           |  FROM documents WHERE text IS NOT NULL)
+        s"""WITH $mCte,
+           |dims AS (SELECT doc_id, mime, n_bytes, h,
+           |    CAST(64 + h % 1024 AS INT) AS width,
+           |    CAST(64 + (h >> 16) % 1024 AS INT) AS height FROM m)
            |SELECT doc_id, mime, CAST(n_bytes AS INT) AS n_bytes,
-           |  CAST(64 + h % 1024 AS INT) AS width,
-           |  CAST(64 + (h >> 16) % 1024 AS INT) AS height,
+           |  width, height,
            |  CAST(1 + (h >> 32) % 240 AS INT) AS frames,
+           |  CAST((width * 224) // greatest(width, height) AS INT) AS resized_w,
+           |  CAST((height * 224) // greatest(width, height) AS INT) AS resized_h,
            |  $featCols
-           |FROM m""".stripMargin
+           |FROM dims""".stripMargin,
+      "mm_frame_sample" ->
+        s"""WITH $mCte,
+           |v AS (SELECT doc_id, CAST(1 + (h >> 32) % 240 AS BIGINT) AS frames
+           |      FROM m WHERE mime = 'video/mp4'),
+           |fr AS (SELECT doc_id, unnest(range(0, frames, greatest(1, frames // 4))) AS fi
+           |       FROM v)
+           |SELECT doc_id, 'video/mp4' AS mime, CAST(fi AS INT) AS frame_idx,
+           |  substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(fi AS VARCHAR)), 1, 16) AS frame_sig
+           |FROM fr""".stripMargin
     )
   }
 }
