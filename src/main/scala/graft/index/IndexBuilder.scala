@@ -110,7 +110,8 @@ object IndexBuilder {
     val shardSize = fixedShardSize.getOrElse(
       math.max(1L, (n + cfg.numShards - 1) / cfg.numShards))
 
-    assigned.docs.write.mode("overwrite").parquet(docsDir)
+    assigned.docs.write.mode("overwrite")
+      .option("compression", IndexStore.IndexCodec).parquet(docsDir)
     assigned.cache.unpersist() // sort layout no longer needed once ids are durable
     val docs = spark.read.parquet(docsDir).as[Doc]
 
