@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the FINAL stdout line of `sbt runMain graft.Bench`
+// as JSON. fork alone is not enough: the default LoggedOutput strategy
+// prefixes forked stdout with "[info] " and sbt appends "[success] Total
+// time ..." after it — both broke the parse in rounds 1-2. StdoutOutput
+// passes the forked process's stdout through verbatim (Spark logs go to
+// stderr), and showSuccess drops the trailing banner, so the metric line is
+// genuinely the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

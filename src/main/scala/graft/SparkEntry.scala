@@ -39,15 +39,23 @@ object SparkEntry {
     transcripts(s, dir).as[Turn]
   }
 
+  /** Cache key tied to the live SparkContext (applicationId is unique per
+    * context even across restarts in one JVM), so a restarted session can
+    * never be served a stale Relations whose cached plans reference a
+    * stopped context — hashCode could collide there.
+    */
+  private def cacheKey(s: SparkSession, dir: String): String =
+    s.sparkContext.applicationId + "|" + dir
+
   private[graft] def rel(s: SparkSession, dir: String): IndexBuilder.Relations =
-    relCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
+    relCache.getOrElseUpdate(cacheKey(s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val docsDir = s"${sys.props("java.io.tmpdir")}/graft-docs-$safe"
       IndexBuilder.relations(s, turns(s, dir), docsDir, cfg)
     })
 
   private[graft] def index(s: SparkSession, dir: String): IndexStore.Index =
-    idxCache.getOrElseUpdate(s.hashCode() + "|" + dir, {
+    idxCache.getOrElseUpdate(cacheKey(s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = s"${sys.props("java.io.tmpdir")}/graft-index-$safe"
       // snapshotId must change whenever the index CONTENT would: fold in
@@ -94,12 +102,10 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
-  private[graft] def bm25(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
-    val r = rel(s, dir)
-    // score everything (small verify scale), rank on rounded scores
-    val top = QueryEngine.exhaustiveTopK(s, r, q, Int.MaxValue, cfg)
-    finish(top, r.docs, k)
-  }
+  // NOTE: the exhaustive full-corpus scorer (QueryEngine.exhaustiveTopK) is
+  // deliberately NOT behind any driver entry a user would call — it exists
+  // as the oracle-matching baseline inside ScalaTest (EngineSpec/GoldenSpec)
+  // only. Every driver-visible BM25 path goes through block-max WAND.
 
   /** WAND fetch size: the driver compares on scores ROUNDED to 4 decimals,
     * so docs whose exact scores straddle the k-th by < 1e-4 can reorder
@@ -116,6 +122,20 @@ object SparkEntry {
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
       q, WandFetchK, cfg)
     finish(top, idx.docs, k)
+  }
+
+  /** The production serving plan, driver-visible: WAND with heap size = k
+    * and NO over-fetch, ranked on RAW scores (the engine's own tie-break —
+    * score desc, docId asc — needs no rounding); scores are rounded to 4
+    * decimals only for display/compare AFTER ranking. This is the exact
+    * plan the bench times for query_p50/p95.
+    */
+  private[graft] def bm25Serving(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus, q, k, cfg)
+    val w = Window.orderBy(col("score").desc, col("docId").asc)
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("docId").as("doc_id"), round(col("score"), 4).as("score"))
   }
 
   /** All reference queries scored in ONE job (shared scan + decode),
@@ -196,14 +216,17 @@ object SparkEntry {
       })
     )
     val bm25Qs = querySet.map { case (qid, text) =>
-      s"bm25_$qid" -> ((s: SparkSession, dir: String) => bm25(s, dir, text))
+      s"bm25_$qid" -> ((s: SparkSession, dir: String) => bm25Wand(s, dir, text))
     }
-    val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>
+    val wandQs = querySet.map { case (qid, _) =>
       s"bm25_wand_$qid" -> ((s: SparkSession, dir: String) => bm25Wand(s, dir, queryText(qid)))
+    }
+    val servingQs = Seq("q1", "q6", "q10").map { qid =>
+      s"bm25_serving_$qid" -> ((s: SparkSession, dir: String) => bm25Serving(s, dir, queryText(qid)))
     }
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
-    base ++ bm25Qs ++ wandQs ++ batchQ
+    base ++ bm25Qs ++ wandQs ++ servingQs ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -274,6 +297,33 @@ object SparkEntry {
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
 
+  /** Raw-rank serving oracle: ranks on EXACT scores (no pre-round), rounds
+    * only the displayed score — mirrors `bm25Serving`. Cross-engine double
+    * sums agree to ~1e-12 relative, far below any score gap between
+    * distinct documents in the fixtures, so raw ranking is stable.
+    */
+  private def bm25ServingOracleSql(queryText: String): String = {
+    val qterms = Analyzer.analyzeQuery(queryText, cfg.analyzer)
+    val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |q(term, qtf) AS (VALUES $values),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c),
+       |scores AS (SELECT doc_id, sum(x) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |       doc_id, round(score, 4) AS score
+       |FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   private def engineOracles: Map[String, String] = {
     val base = Map(
       "transcripts" ->
@@ -299,13 +349,16 @@ object SparkEntry {
           |FROM lineitem GROUP BY 1""".stripMargin
     )
     val bm25Qs = querySet.map { case (qid, text) => s"bm25_$qid" -> bm25OracleSql(text) }
-    val wandQs = Seq("q1", "q2", "q6", "q9", "q10").map { qid =>
+    val wandQs = querySet.map { case (qid, _) =>
       s"bm25_wand_$qid" -> bm25OracleSql(queryText(qid))
+    }
+    val servingQs = Seq("q1", "q6", "q10").map { qid =>
+      s"bm25_serving_$qid" -> bm25ServingOracleSql(queryText(qid))
     }
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
-    base ++ bm25Qs ++ wandQs ++ batchOracle
+    base ++ bm25Qs ++ wandQs ++ servingQs ++ batchOracle
   }
 }
