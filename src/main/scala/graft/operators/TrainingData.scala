@@ -328,6 +328,76 @@ object TrainingData {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // -------------------------------------------------- cluster resolution
+
+  /** Connected components over a near-dup pair relation via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014): every round is two groupBy-min
+    * shuffles on the node id with work linear in the edge count, and the
+    * edge set converges to a star forest (each member linked directly to
+    * its component's minimum id) in O(log^2 n) rounds — unlike plain
+    * min-label propagation, which needs O(diameter) rounds and at 100 TB a
+    * chained-duplicate cluster can have a long diameter. The pair relation
+    * is already bounded by the LSH guards ([[boundedPairs]]), so per-round
+    * skew is bounded too: a giant component contributes hub edges, not a
+    * quadratic neighborhood.
+    *
+    * Returns (doc_id, cluster_id, keep) for every doc that appears in a
+    * pair — cluster_id = min doc_id of its component, keep = 1 iff the doc
+    * IS that minimum (the canonical survivor, the reference's
+    * dropDuplicates keep-one semantics, create_lookup_table.py:34). The
+    * full-corpus keep set is then `docs ANTI JOIN (clusters WHERE keep=0)`
+    * ([[keepSet]]).
+    *
+    * Lineage is truncated per round with localCheckpoint; a multi-executor
+    * deployment would use a reliable checkpoint dir instead (same plan
+    * shape, fault-tolerant re-read).
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e.distinct()
+    // canonical undirected edges (a < b)
+    var e = canon(pairs.select(
+      least(col("id_a"), col("id_b")).as("a"),
+      greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = canon(sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")))
+      // small-star: every neighbor v < u (and u itself) links to the min
+      val or = ls.select(col("b").as("u"), col("a").as("v")) // v < u
+      val ssMin = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val linked = or.join(ssMin, Seq("u")).select(col("m"), col("v"))
+        .union(ssMin.select(col("m"), col("u").as("v")))
+      val next = canon(linked.filter(col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b"))).localCheckpoint()
+      // edge sets are distinct + canonical: same count and next ⊆ e ⇒ equal
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
+    require(converged, s"clusterPairs did not converge in $maxIter rounds")
+    // star forest: a = component min (center), b = member
+    e.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .union(e.select(col("a").as("doc_id"), col("a").as("cluster_id")))
+      .distinct()
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
+  /** Terminal dedup step: the corpus minus non-canonical near-dup cluster
+    * members — what a training-data pipeline actually feeds downstream.
+    */
+  def keepSet(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters.filter(col("keep") === 0).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   // ------------------------------------------------------- driver contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -352,6 +422,16 @@ object TrainingData {
     "ann_lsh_bucket" -> ((s, dir) => annLshTopK(embTable(s, dir))),
 
     "dedup_embedding_cosine" -> ((s, dir) => embeddingCosinePairs(embTable(s, dir))),
+
+    // cluster resolution: pairs → (doc_id, cluster_id, keep) via
+    // large-star/small-star connected components over the LSH pair relation
+    "dedup_clusters" -> ((s, dir) => clusterPairs(minhashLshPairs(docsTable(s, dir)))),
+
+    // terminal keep set: the corpus minus dropped near-dup cluster members
+    "dedup_keep_set" -> ((s, dir) => {
+      val docs = docsTable(s, dir)
+      keepSet(docs.select(col("doc_id")), clusterPairs(minhashLshPairs(docs)))
+    }),
 
     // language-ID heuristic (script classes; deterministic rule, not a model)
     "lang_id" -> ((s, dir) =>
@@ -512,6 +592,19 @@ object TrainingData {
        |SELECT id_a, id_b, cos FROM scored WHERE cos >= $EmbCosineThreshold""".stripMargin
   }
 
+  /** Min-reachable-id per node over the symmetrized pair relation — the
+    * recursive-CTE twin of [[clusterPairs]] (exact at verify scale; the
+    * engine side is the log-round distributed algorithm).
+    */
+  private def clusterCtes: String =
+    """edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |walk(u, l) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, w.l FROM edges e JOIN walk w ON w.u = e.v),
+      |clusters AS (SELECT u AS doc_id, min(l) AS cluster_id FROM walk GROUP BY u)""".stripMargin
+
   def oracles: Map[String, String] = {
     val stopList = Analyzer.englishStopwords.toSeq
       .filter(_.matches("[\\p{L}\\p{N}]+")).sorted.map(w => s"'$w'").mkString(", ")
@@ -530,6 +623,20 @@ object TrainingData {
            |  ${cosineSql("e.v", "q.qv")} AS cos
            |FROM e, q WHERE e.vec_id > 0
            |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (
+           |$minhashOracle
+           |),
+           |$clusterCtes
+           |SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS keep
+           |FROM clusters""".stripMargin,
+      "dedup_keep_set" ->
+        s"""WITH RECURSIVE pairs AS (
+           |$minhashOracle
+           |),
+           |$clusterCtes
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin,
       "ann_lsh_bucket" -> annLshOracle,
       "dedup_embedding_cosine" -> embCosineOracle,
       "lang_id" ->

@@ -123,6 +123,56 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(lsh == Set((0L, 1L)), s"got $lsh")
   }
 
+  // scala-side union-find ground truth for cluster resolution
+  private def ufClusters(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).map(x => x -> find(x)).toMap
+  }
+
+  private def clusterMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("clusterPairs: chained duplicates collapse to one cluster (path graph)") {
+    // A~B~C~...~Z transitive chain — the worst diameter case for naive
+    // label propagation; large-star/small-star must converge in log rounds
+    val n = 200L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = TrainingData.clusterPairs(chain)
+    assert(clusterMap(got) == (0L until n).map(_ -> 0L).toMap)
+    val kept = got.filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L), s"only the component min survives, got $kept")
+  }
+
+  test("clusterPairs matches union-find on a random pair graph") {
+    val rnd = new scala.util.Random(42L)
+    val pairs = (0 until 300).map { _ =>
+      val a = rnd.nextInt(150).toLong
+      val b = rnd.nextInt(150).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toSet
+    val df = pairs.toSeq.toDF("id_a", "id_b")
+    assert(clusterMap(TrainingData.clusterPairs(df)) == ufClusters(pairs))
+  }
+
+  test("keepSet drops exactly the non-canonical cluster members") {
+    val docs = (0L until 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val clusters = TrainingData.clusterPairs(pairs)
+    val kept = TrainingData.keepSet(docs, clusters)
+      .collect().map(_.getLong(0)).toSet
+    // {1,3,5} keeps 1; {7,8} keeps 7; singletons untouched
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
+  }
+
   test("ann_lsh_bucket: non-empty + scan-fraction recall floor on random vectors") {
     // the driver's embeddings are STRUCTURELESS random vectors — the worst
     // case for any LSH: cosine neighbors are near-uniform, so expected
