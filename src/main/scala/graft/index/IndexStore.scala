@@ -47,8 +47,18 @@ object IndexStore {
 
   /** Bumped whenever the on-disk block/manifest schema changes; loaders
     * refuse (and callers rebuild) older layouts. v4: manifest carries the
-    * live dir lists (blockDirs/docDirs/termstatsDir) for atomic appends. */
-  val FormatVersion = 4
+    * live dir lists (blockDirs/docDirs/termstatsDir) for atomic appends.
+    * v5: manifest records the committed snapshot-id history so appends are
+    * idempotent against ANY replayed snapshot, not just the latest. */
+  val FormatVersion = 5
+
+  /** Committed snapshot ids kept in the manifest for append idempotence.
+    * A streaming source with a checkpoint replays at most the last
+    * in-flight batch, so the cap only matters for checkpoint-less restarts
+    * replaying from scratch — 10k covers any realistic replay window while
+    * keeping the manifest small.
+    */
+  val SnapshotHistoryCap = 10000
 
   /** Bumped whenever the index CONTENT for identical input would change
     * (codec, tokenizer, docId assignment, block layout within a format) —
@@ -88,7 +98,9 @@ object IndexStore {
       blockDirs: Seq[String],
       docDirs: Seq[String],
       termstatsDir: String,
-      complete: Boolean
+      complete: Boolean,
+      // committed snapshot ids (oldest first, capped at SnapshotHistoryCap)
+      history: Seq[String] = Nil
   )
 
   // ------------------------------------------------------------- manifest IO
@@ -117,6 +129,7 @@ object IndexStore {
          |"k1":${m.k1},"b":${m.b},"numShards":${m.numShards},"shardSize":${m.shardSize},
          |"blockSize":${m.blockSize},"docCount":${m.docCount},"avgdl":${m.avgdl},
          |"blockDirs":${strArr(m.blockDirs)},"docDirs":${strArr(m.docDirs)},"termstatsDir":"${esc(m.termstatsDir)}",
+         |"snapshotHistory":${strArr(m.history)},
          |"shards":$shards,"metrics":$metrics,"complete":${m.complete}}""".stripMargin
     val tmp = Paths.get(dir, "manifest.json.tmp")
     Files.createDirectories(tmp.getParent)
@@ -185,7 +198,8 @@ object IndexStore {
       blockDirs = strArr("blockDirs"),
       docDirs = strArr("docDirs"),
       termstatsDir = str("termstatsDir"),
-      complete = complete
+      complete = complete,
+      history = strArr("snapshotHistory")
     ))
   }
 
@@ -204,6 +218,29 @@ object IndexStore {
     */
   private def nextGen(m: Manifest): Int =
     m.metrics.getOrElse("dirGen", 0.0).toInt + 1
+
+  /** Post-commit sweep of orphaned staging dirs: delta-gN, compact-gN and
+    * termstats-gN whose generation is <= the live dirGen but which the
+    * committed manifest does not reference. These are leftovers of an
+    * append/compact that crashed before its commit and whose generation a
+    * LATER successful commit then skipped past — the retry-cleanup only
+    * clears the gen it is about to reuse, so without this sweep they leak
+    * forever over a long append lifecycle. Never touches gen > dirGen
+    * (an in-flight writer's staging under the single-writer contract).
+    */
+  private def sweepOrphans(dir: String, m: Manifest): Unit = {
+    val gen = m.metrics.getOrElse("dirGen", 0.0).toInt
+    val live = (m.blockDirs ++ m.docDirs ++ Seq(m.termstatsDir))
+      .filter(_.nonEmpty).map(_.split('/').head).toSet
+    val staged = """(?:delta|compact|termstats)-g(\d+)""".r
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case staged(g) if g.toInt <= gen && !live.contains(f.getName) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(f)
+        case _ => ()
+      }
+    }
+  }
 
   // ------------------------------------------------------------------ build
 
@@ -231,7 +268,10 @@ object IndexStore {
     val t0 = System.nanoTime()
     val existing = readManifest(dir)
     existing.filter(m => m.complete && configMatches(m, cfg)).foreach { m =>
-      if (m.snapshotId == snapshotId) return BuildResult(m, dir)
+      // idempotent against any already-committed snapshot (latest OR in the
+      // history), so a replayed first stream batch can't trigger a rebuild
+      if (m.snapshotId == snapshotId || m.history.contains(snapshotId))
+        return BuildResult(m, dir)
     }
     val committed: Set[Int] = existing match {
       case Some(m) if m.snapshotId == snapshotId && !m.complete && configMatches(m, cfg) =>
@@ -337,7 +377,7 @@ object IndexStore {
       cfg.numShards, shardSize, cfg.blockSize, corpus.docCount,
       corpus.avgdl, done.sortBy(_.shardId), metrics + ("dirGen" -> baseGen),
       blockDirs = blockDirs, docDirs = docDirs, termstatsDir = tsDir,
-      complete)
+      complete, history = Seq(snapshotId))
 
     val pending = allShards.filterNot(committed.contains)
     pending.grouped(math.max(1, commitBatchShards)).foreach { batch =>
@@ -400,6 +440,7 @@ object IndexStore {
         .foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$dir/$d")))
     }
+    sweepOrphans(dir, m)
     blocks.unpersist()
     BuildResult(m, dir)
   }
@@ -434,8 +475,12 @@ object IndexStore {
     require(base.complete, s"base index at $dir is incomplete")
     // idempotence under at-least-once retry (e.g. Structured Streaming's
     // foreachBatch): an append whose snapshotId already committed is a
-    // no-op — re-running it would append the same turns a second time
-    if (base.snapshotId == snapshotId) return BuildResult(base, dir)
+    // no-op — re-running it would append the same turns a second time.
+    // Checked against the FULL committed history, not just the latest id:
+    // a checkpoint-less stream restart replays batchIds from 0, and those
+    // must not re-append past snapshots just because later ones committed.
+    if (base.snapshotId == snapshotId || base.history.contains(snapshotId))
+      return BuildResult(base, dir)
     require(base.analyzer == cfg.analyzer.fingerprint,
       s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint}")
     require(base.k1 == cfg.params.k1 && base.b == cfg.params.b,
@@ -501,16 +546,22 @@ object IndexStore {
 
     // merged term stats: df is additive (delta df = Σ block n per term);
     // idf recomputed for the merged N. Written to the fresh versioned dir
-    // (never overwrites the live one).
-    val baseTs =
-      if (base.termstatsDir.isEmpty)
-        spark.emptyDataset[(String, Long)].toDF("term", "df")
-      else spark.read.parquet(s"$dir/${base.termstatsDir}").select($"term", $"df")
-    val deltaTs = blocks.groupBy($"term").agg(sum($"n").as("df"))
-    baseTs.unionByName(deltaTs)
-      .groupBy($"term").agg(sum($"df").as("df"))
-      .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
-      .write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tsDir")
+    // (never overwrites the live one). Degenerate guard mirroring build():
+    // a stats-less base (all-stopword corpus) merged with a block-less
+    // delta would be a ZERO-row parquet write — an unreadable dir the
+    // committed manifest must not reference, so keep termstatsDir empty.
+    val tsDirFinal = if (base.termstatsDir.isEmpty && !hasBlocks) "" else tsDir
+    if (tsDirFinal.nonEmpty) {
+      val baseTs =
+        if (base.termstatsDir.isEmpty)
+          spark.emptyDataset[(String, Long)].toDF("term", "df")
+        else spark.read.parquet(s"$dir/${base.termstatsDir}").select($"term", $"df")
+      val deltaTs = blocks.groupBy($"term").agg(sum($"n").as("df"))
+      baseTs.unionByName(deltaTs)
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
+        .write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tsDirFinal")
+    }
 
     val mergedLineage = (base.shards.map(_.shardId).toSet ++ deltaLineage.keySet)
       .toSeq.sorted.map { sid =>
@@ -533,8 +584,9 @@ object IndexStore {
           else perShard.max / (perShard.sum / perShard.size))),
       blockDirs = if (hasBlocks) base.blockDirs :+ deltaBlocksDir else base.blockDirs,
       docDirs = base.docDirs :+ deltaDocsDir,
-      termstatsDir = tsDir,
-      complete = true)
+      termstatsDir = tsDirFinal,
+      complete = true,
+      history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap))
     if (failBeforeCommit)
       throw new RuntimeException("injected failure before append commit")
     writeManifest(dir, m) // THE commit point
@@ -542,6 +594,7 @@ object IndexStore {
     if (base.termstatsDir.nonEmpty)
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$dir/${base.termstatsDir}"))
+    sweepOrphans(dir, m)
     blocks.unpersist()
     BuildResult(m, dir)
   }
@@ -624,6 +677,7 @@ object IndexStore {
     (m.blockDirs ++ m.docDirs).foreach { d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d"))
     }
+    sweepOrphans(dir, m2)
     BuildResult(m2, dir)
   }
 

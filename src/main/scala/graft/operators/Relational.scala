@@ -114,6 +114,32 @@ object Relational {
     "a9_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
 
+    // Composed FWCI-shaped pipeline in ONE plan — the reference's full
+    // sciVal feature flow (calculate_fwci.py:84-95 baseline avg + re-join +
+    // guarded ratio, then calculate_percentiles.py:28-32 percent_rank over
+    // the same (field, year) window): grouped-avg baseline per
+    // (l_returnflag, ship-year), broadcast re-joined (the baseline is tiny
+    // — #fields x #years rows — so at any corpus scale this must never
+    // shuffle the fact table twice), when/otherwise zero-baseline guard,
+    // percentile within the group. A2+J5+P8+W1 end-to-end.
+    "fwci_percentile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("field"),
+        year(col("l_shipdate")).cast("int").as("yr"),
+        col("l_extendedprice").as("cites"))
+      val baseline = li.groupBy(col("field"), col("yr"))
+        .agg(avg(col("cites")).as("base"))
+      li.join(broadcast(baseline), Seq("field", "yr"))
+        .select(
+          col("field"), col("yr"), col("l_orderkey"), col("l_linenumber"),
+          round(when(col("base") > 0, col("cites") / col("base"))
+            .otherwise(lit(0.0)), 6).as("fwci"),
+          round(percent_rank().over(
+            Window.partitionBy(col("field"), col("yr"))
+              .orderBy(col("cites").desc)), 6).as("pct"))
+    }),
+
     // W1: percent_rank over (partition, order) (calculate_percentiles.py:28-32)
     "w1_percent_rank" -> ((s, dir) =>
       t(s, dir, "customer").select(
@@ -240,6 +266,17 @@ object Relational {
       "SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders FROM lineitem GROUP BY 1",
     "a9_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "fwci_percentile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS field,
+        |         CAST(year(l_shipdate) AS INT) AS yr, l_extendedprice AS cites
+        |  FROM lineitem),
+        |base AS (SELECT field, yr, avg(cites) AS b FROM li GROUP BY 1, 2)
+        |SELECT li.field, li.yr, li.l_orderkey, li.l_linenumber,
+        |  round(CASE WHEN b.b > 0 THEN li.cites / b.b ELSE 0.0 END, 6) AS fwci,
+        |  round(percent_rank() OVER (
+        |    PARTITION BY li.field, li.yr ORDER BY li.cites DESC), 6) AS pct
+        |FROM li JOIN base b ON li.field = b.field AND li.yr = b.yr""".stripMargin,
     "w1_percent_rank" ->
       """SELECT c_custkey, c_mktsegment,
         |round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pct

@@ -75,11 +75,19 @@ object EventStream {
   /** @param compactAfterDeltas when > 0, compact the index back to a
     *        single block dir once more than this many dirs accumulate
     *        (the Lucene-merge policy knob; 0 = never)
+    * @param checkpointDir Structured Streaming checkpoint location. A
+    *        long-lived ingest MUST set this: without it a restarted stream
+    *        re-reads the source with batchIds starting over at 0. Replayed
+    *        batches are harmless either way — appendSnapshot is idempotent
+    *        against the manifest's full committed snapshot-id history — but
+    *        the checkpoint is what makes a restart resume instead of
+    *        re-scanning everything.
     */
   def indexTurns(spark: SparkSession, turns: DataFrame, indexDir: String,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      compactAfterDeltas: Int = 0): StreamingQuery =
-    turns.writeStream
+      compactAfterDeltas: Int = 0,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = turns.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val ds = batch.as[Turn](org.apache.spark.sql.Encoders.product[Turn])
@@ -94,7 +102,8 @@ object EventStream {
         }
         ()
       }
-      .start()
+    checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 
   /** Drive a streaming query synchronously to completion on a static dir
     * (memory sink), returning the materialized result.

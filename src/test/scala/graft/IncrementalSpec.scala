@@ -156,6 +156,61 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got3 == OracleBM25.topK(oracle3, "term0000 term0001", 10, cfg.analyzer))
   }
 
+  test("replayed OLD snapshot ids are no-ops (history guard, not latest-only)") {
+    // a checkpoint-less stream restart replays batchIds from 0 after later
+    // snapshots have committed — only a full-history guard catches those
+    val baseTurns = shiftConvs(TranscriptGen.turns(seed = 51, nConvs = 12), "a-")
+    val d1 = shiftConvs(TranscriptGen.turns(seed = 52, nConvs = 8), "b-")
+    val d2 = shiftConvs(TranscriptGen.turns(seed = 53, nConvs = 6), "c-")
+    val dir = Files.createTempDirectory("graft-incr-hist").toString
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    IndexStore.build(spark, spark.createDataset(baseTurns)(enc), dir, "stream-batch-0", cfg)
+    IndexStore.appendSnapshot(spark, spark.createDataset(d1)(enc), dir, "stream-batch-1", cfg)
+    val m2 = IndexStore.appendSnapshot(spark, spark.createDataset(d2)(enc), dir, "stream-batch-2", cfg).manifest
+    assert(m2.history == Seq("stream-batch-0", "stream-batch-1", "stream-batch-2"))
+    // replay batch 1 (no longer the latest) — must not re-append
+    val replay = IndexStore.appendSnapshot(spark, spark.createDataset(d1)(enc), dir, "stream-batch-1", cfg)
+    assert(replay.manifest == m2, "replayed old snapshot must be a no-op")
+    // replay batch 0 through the BUILD path — must not trigger a rebuild
+    val replay0 = IndexStore.build(spark, spark.createDataset(baseTurns)(enc), dir, "stream-batch-0", cfg)
+    assert(replay0.manifest == m2, "replayed first snapshot must not rebuild")
+    val oracle = OracleBM25.corpus(baseTurns ++ d1 ++ d2, cfg.analyzer)
+    assert(IndexStore.load(spark, dir).manifest.docCount == oracle.n)
+  }
+
+  test("orphaned staging dirs from a crashed append are swept by the next commit") {
+    val baseTurns = shiftConvs(TranscriptGen.turns(seed = 54, nConvs = 12), "a-")
+    val d1 = shiftConvs(TranscriptGen.turns(seed = 55, nConvs = 8), "b-")
+    val d2 = shiftConvs(TranscriptGen.turns(seed = 56, nConvs = 6), "c-")
+    val dir = Files.createTempDirectory("graft-incr-orphan").toString
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    IndexStore.build(spark, spark.createDataset(baseTurns)(enc), dir, "s0", cfg)
+    IndexStore.appendSnapshot(spark, spark.createDataset(d1)(enc), dir, "s1", cfg)
+    // crash an append after staging (gen 2 dirs exist, manifest untouched)
+    intercept[RuntimeException] {
+      IndexStore.appendSnapshot(spark, spark.createDataset(d2)(enc), dir, "s2-crashed", cfg,
+        failBeforeCommit = true)
+    }
+    assert(new java.io.File(s"$dir/delta-g2").exists(), "staging should survive the crash")
+    // a compact (not a retry of the same append) advances dirGen past the
+    // crashed generation — the commit must sweep the now-unreachable orphans
+    IndexStore.compact(spark, dir, cfg)
+    assert(!new java.io.File(s"$dir/delta-g2").exists(), "orphan delta-g2 not swept")
+    assert(!new java.io.File(s"$dir/termstats-g2").exists(), "orphan termstats-g2 not swept")
+    // index unharmed and still exact
+    val idx = IndexStore.load(spark, dir)
+    val oracle = OracleBM25.corpus(baseTurns ++ d1, cfg.analyzer)
+    assert(idx.manifest.docCount == oracle.n)
+    val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "term0000 term0001", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == OracleBM25.topK(oracle, "term0000 term0001", 10, cfg.analyzer))
+    // and the index stays appendable afterwards
+    IndexStore.appendSnapshot(spark, spark.createDataset(d2)(enc), dir, "s2", cfg)
+    val oracle2 = OracleBM25.corpus(baseTurns ++ d1 ++ d2, cfg.analyzer)
+    assert(IndexStore.load(spark, dir).manifest.docCount == oracle2.n)
+  }
+
   test("append is idempotent under at-least-once retry (same snapshotId = no-op)") {
     val baseTurns = shiftConvs(TranscriptGen.turns(seed = 36, nConvs = 15), "a-")
     val deltaTurns = shiftConvs(TranscriptGen.turns(seed = 37, nConvs = 10), "b-")

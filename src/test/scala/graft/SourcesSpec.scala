@@ -35,7 +35,8 @@ class SourcesSpec extends AnyFunSuite {
       Map("buildSec" -> 1.5, "skewRatio" -> 1.0),
       blockDirs = Seq("blocks", "delta-v1/blocks"),
       docDirs = Seq("docs", "delta-v1/docs"),
-      termstatsDir = "termstats-v1", complete = true)
+      termstatsDir = "termstats-v1", complete = true,
+      history = Seq("snap \"quoted\"\nnewline", "snap-2"))
     IndexStore.writeManifest(dir, m)
     val got = IndexStore.readManifest(dir)
     assert(got.contains(m))

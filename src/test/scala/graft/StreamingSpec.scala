@@ -78,6 +78,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous indexing: checkpointed restart resumes without duplicating turns") {
+    import java.nio.file.Files
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.model.Turn
+    import TestKit.{OracleBM25, TranscriptGen}
+    val cfg = IndexBuilder.Config(docIdPartitions = 2, numShards = 4)
+    def shift(ts: Seq[Turn], p: String) = ts.map(t => t.copy(conv_id = p + t.conv_id))
+    val base = shift(TranscriptGen.turns(seed = 71, nConvs = 10), "a-")
+    val delta = shift(TranscriptGen.turns(seed = 72, nConvs = 6), "b-")
+    val srcDir = Files.createTempDirectory("graft-ckpt-src").toString
+    val idxDir = Files.createTempDirectory("graft-ckpt-idx").toString
+    val ckptDir = Files.createTempDirectory("graft-ckpt-meta").toString
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    def startQuery() = {
+      val stream = spark.readStream.schema(enc.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      graft.streaming.EventStream.indexTurns(spark, stream, idxDir, cfg,
+        checkpointDir = Some(ckptDir))
+    }
+
+    spark.createDataset(base)(enc).coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(IndexStore.load(spark, idxDir).manifest.docCount ==
+      OracleBM25.corpus(base, cfg.analyzer).n)
+
+    // new data arrives while the stream is DOWN; the restarted query must
+    // resume from the checkpoint — indexing only the delta, exactly once
+    spark.createDataset(delta)(enc).coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val m = IndexStore.load(spark, idxDir).manifest
+    assert(m.docCount == OracleBM25.corpus(base ++ delta, cfg.analyzer).n,
+      "restart must index the delta exactly once (no loss, no duplication)")
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val stream = EventStream.readEvents(spark, dir, "events.parquet", batch.schema)
