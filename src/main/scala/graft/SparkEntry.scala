@@ -25,7 +25,12 @@ import graft.sources.TranscriptSource
   */
 object SparkEntry {
 
-  private[graft] val cfg = IndexBuilder.Config()
+  /** Positional index at verify scale so the phrase entries run against
+    * the same cached index as every WAND entry — positions live in a
+    * separate parquet column the BM25 paths never project (asserted in
+    * PlanSpec), so enabling them costs the non-phrase queries nothing.
+    */
+  private[graft] val cfg = IndexBuilder.Config(storePositions = true)
 
   // ---------------------------------------------------------------- caching
   private val relCache = TrieMap.empty[String, IndexBuilder.Relations]
@@ -86,6 +91,17 @@ object SparkEntry {
   )
   private[graft] val queryText: Map[String, String] = querySet.toMap
 
+  /** Phrase queries (quoted-search semantics — the one common lexical
+    * feature the reference UI implies, App.js search box): adjacency in
+    * the FILTERED token stream, Lucene-PhraseQuery-style.
+    */
+  private[graft] val phraseSet: Seq[(String, String)] = Seq(
+    "p1" -> "fast table", // common bigram
+    "p2" -> "the data stream", // stopword dropped -> "data stream" adjacency
+    "p3" -> "data data", // duplicated term: overlapping-occurrence handling
+    "p4" -> "zzznotaterm data" // absent term -> empty result
+  )
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -136,6 +152,15 @@ object SparkEntry {
     val w = Window.orderBy(col("score").desc, col("docId").asc)
     top.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("docId").as("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Phrase top-k through the positional index (same over-fetch +
+    * round-then-rank finish as the WAND entries).
+    */
+  private[graft] def bm25Phrase(s: SparkSession, dir: String, phrase: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase, WandFetchK, cfg)
+    finish(top, idx.docs, k)
   }
 
   /** All reference queries scored in ONE job (shared scan + decode),
@@ -224,9 +249,12 @@ object SparkEntry {
     val servingQs = Seq("q1", "q6", "q10").map { qid =>
       s"bm25_serving_$qid" -> ((s: SparkSession, dir: String) => bm25Serving(s, dir, queryText(qid)))
     }
+    val phraseQs = phraseSet.map { case (pid, text) =>
+      s"phrase_$pid" -> ((s: SparkSession, dir: String) => bm25Phrase(s, dir, text))
+    }
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
-    base ++ bm25Qs ++ wandQs ++ servingQs ++ batchQ
+    base ++ bm25Qs ++ wandQs ++ servingQs ++ phraseQs ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -297,6 +325,51 @@ object SparkEntry {
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
 
+  /** Positions in the FILTERED token stream (1-based), the positional twin
+    * of cteTokens: multiple unnests zip positionally in DuckDB, giving raw
+    * positions; stopword filtering then re-ranks per doc — exactly the
+    * index's storePositions semantics.
+    */
+  private def ctePosToks: String =
+    s"""rawtoks AS (
+       |  SELECT doc_id, unnest(r) AS term, unnest(range(1, len(r) + 1)) AS p
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[\\pL\\pN]+') AS r FROM docs)),
+       |ptoks AS (
+       |  SELECT doc_id, term,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS fpos
+       |  FROM rawtoks WHERE term NOT IN ($sqlStopList))""".stripMargin
+
+  /** Phrase BM25 oracle: adjacency joins on filtered positions, phrase tf /
+    * df / idf, the same contribution shape as [[bm25OracleSql]] with qtf=1.
+    */
+  private def phraseOracleSql(phrase: String): String = {
+    val terms = Analyzer.tokenize(phrase, cfg.analyzer)
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
+      s"JOIN ptoks p$j ON p$j.doc_id = m0.doc_id AND p$j.term = '$t' AND p$j.fpos = m0.fpos + $j"
+    }.mkString("\n       ")
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |$ctePosToks,
+       |m0 AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
+       |mm AS (SELECT m0.doc_id, count(*) AS tfp
+       |       FROM m0
+       |       $joins
+       |       GROUP BY 1),
+       |dfp AS (SELECT count(*) AS c FROM mm),
+       |scores AS (
+       |  SELECT mm.doc_id,
+       |    round(ln((c.n + 1.0) / (dfp.c + 1.0)) *
+       |      (mm.tfp * ($k1 + 1.0) / (mm.tfp + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))), 4) AS score
+       |  FROM mm JOIN dstat d ON mm.doc_id = d.doc_id CROSS JOIN corpus c CROSS JOIN dfp)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, dd.conv_id, dd.turn_idx, dd.text
+       |FROM scores s JOIN docs dd ON s.doc_id = dd.doc_id
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
   /** Raw-rank serving oracle: ranks on EXACT scores (no pre-round), rounds
     * only the displayed score — mirrors `bm25Serving`. Cross-engine double
     * sums agree to ~1e-12 relative, far below any score gap between
@@ -355,10 +428,13 @@ object SparkEntry {
     val servingQs = Seq("q1", "q6", "q10").map { qid =>
       s"bm25_serving_$qid" -> bm25ServingOracleSql(queryText(qid))
     }
+    val phraseQs = phraseSet.map { case (pid, text) =>
+      s"phrase_$pid" -> phraseOracleSql(text)
+    }
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
-    base ++ bm25Qs ++ wandQs ++ servingQs ++ batchOracle
+    base ++ bm25Qs ++ wandQs ++ servingQs ++ phraseQs ++ batchOracle
   }
 }

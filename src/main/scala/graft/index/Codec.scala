@@ -67,6 +67,50 @@ object Codec {
     out.toByteArray
   }
 
+  /** Encodes per-posting position lists (1-based positions in the filtered
+    * token stream, strictly ascending within a posting) as one byte stream:
+    * for each posting in block order, its positions delta-varint encoded
+    * (first absolute, then gaps >= 1). List lengths are NOT stored — the
+    * main payload's tf values delimit them, so positions cost exactly
+    * sum(tf) varints per block (the Lucene .prx layout, columnar here).
+    */
+  def encodePositions(lists: Seq[Array[Int]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(lists.iterator.map(_.length).sum * 2)
+    lists.foreach { ps =>
+      var prev = 0
+      var i = 0
+      while (i < ps.length) {
+        require(ps(i) > prev, s"positions must be strictly ascending >= 1: $prev -> ${ps(i)}")
+        writeVarLong(out, (ps(i) - prev).toLong)
+        prev = ps(i)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decodes position lists; `tfs(i)` = number of positions of posting i. */
+  def decodePositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](tfs.length)
+    var pos = 0
+    var i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var prev = 0
+      var j = 0
+      while (j < tfs(i)) {
+        val (d, p1) = readVarLong(bytes, pos)
+        prev += d.toInt
+        ps(j) = prev
+        pos = p1
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
   /** Decodes `n` postings from `bytes`. */
   def decode(bytes: Array[Byte], n: Int): Array[P] = {
     val out = new Array[P](n)

@@ -44,7 +44,12 @@ object IndexBuilder {
       docIdPartitions: Int = 32,
       /** physical partitions for shard placement + encode; 0 = default
         * parallelism */
-      encodePartitions: Int = 0
+      encodePartitions: Int = 0,
+      /** store term positions (phrase-query support). Positions ride a
+        * SEPARATE parquet column that non-phrase queries never read, but
+        * they do widen the build's posting shuffle by ~sum(tf) varints —
+        * off by default so the headline build pays nothing. */
+      storePositions: Boolean = false
   )
 
   /** In-memory handle on the relational form of the index (pass-1 output).
@@ -115,17 +120,29 @@ object IndexBuilder {
     assigned.cache.unpersist() // sort layout no longer needed once ids are durable
     val docs = spark.read.parquet(docsDir).as[Doc]
 
-    // tf is per-document: count INSIDE the row (custom term_freqs
-    // expression) instead of explode + groupBy(term, docId), which would
-    // shuffle every token in the corpus only to re-combine values that
-    // were co-located all along. shardId = docId/shardSize is a column,
-    // not a layout — the one posting-level exchange happens in encodeBlocks.
-    val postings = docs.toDF()
+    // tf is per-document: count INSIDE the row (custom term_freqs /
+    // term_positions expression) instead of explode + groupBy(term, docId),
+    // which would shuffle every token in the corpus only to re-combine
+    // values that were co-located all along. shardId = docId/shardSize is a
+    // column, not a layout — the one posting-level exchange happens in
+    // encodeBlocks. Positional builds derive tf from the in-row position
+    // lists (tf = |positions|); non-positional builds carry an empty pos
+    // column so the encoder schema is uniform (a few bytes per row).
+    val tokenized = docs.toDF()
       .select((col("docId") / shardSize).cast("int").as("shardId"),
         $"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
-      .select($"shardId", $"docId", size($"toks").as("dl"),
-        explode(graft.plans.TermFreqs($"toks")).as(Seq("term", "tf")))
-      .select($"shardId", $"term", $"docId", $"tf", $"dl")
+    val postings =
+      if (cfg.storePositions)
+        tokenized
+          .select($"shardId", $"docId", size($"toks").as("dl"),
+            explode(graft.plans.TermPositions($"toks")).as(Seq("term", "pos")))
+          .select($"shardId", $"term", $"docId", size($"pos").as("tf"), $"dl", $"pos")
+      else
+        tokenized
+          .select($"shardId", $"docId", size($"toks").as("dl"),
+            explode(graft.plans.TermFreqs($"toks")).as(Seq("term", "tf")))
+          .select($"shardId", $"term", $"docId", $"tf", $"dl",
+            array().cast("array<int>").as("pos"))
     Prepared(docs, postings, n, shardSize)
   }
 
@@ -188,8 +205,8 @@ object IndexBuilder {
     postings
       .repartition(parts, $"shardId", $"term")
       .sortWithinPartitions($"shardId", $"term", $"docId")
-      .select($"shardId", $"term", $"docId", $"tf", $"dl")
-      .as[(Int, String, Long, Int, Int)]
+      .select($"shardId", $"term", $"docId", $"tf", $"dl", $"pos")
+      .as[(Int, String, Long, Int, Int, Seq[Int])]
       .mapPartitions { it =>
         new BlockEncodeIterator(it.buffered, blockSize)
       }
@@ -208,7 +225,7 @@ object IndexBuilder {
     * heap; a 128-entry block always does).
     */
   private final class BlockEncodeIterator(
-      it: BufferedIterator[(Int, String, Long, Int, Int)],
+      it: BufferedIterator[(Int, String, Long, Int, Int, Seq[Int])],
       blockSize: Int
   ) extends Iterator[PostingBlock] {
 
@@ -219,19 +236,23 @@ object IndexBuilder {
     override def hasNext: Boolean = it.hasNext
 
     override def next(): PostingBlock = {
-      val (shard, term, _, _, _) = it.head
+      val (shard, term, _, _, _, _) = it.head
       if (shard != curShard || term != curTerm) {
         curShard = shard; curTerm = term; blockIdx = 0
       }
       val buf = new scala.collection.mutable.ArrayBuffer[Codec.P](blockSize)
+      val posBuf = new scala.collection.mutable.ArrayBuffer[Array[Int]](blockSize)
       var maxTf = 0
       var minDl = Int.MaxValue
       var sumTf = 0L
+      var anyPos = false
       while (it.hasNext && buf.size < blockSize && {
           val h = it.head; h._1 == shard && h._2 == term
         }) {
-        val (_, _, docId, tf, dl) = it.next()
+        val (_, _, docId, tf, dl, pos) = it.next()
         buf += Codec.P(docId, tf, dl)
+        posBuf += pos.toArray
+        if (pos.nonEmpty) anyPos = true
         if (tf > maxTf) maxTf = tf
         if (dl < minDl) minDl = dl
         sumTf += tf
@@ -246,7 +267,9 @@ object IndexBuilder {
         maxTf = maxTf,
         minDl = minDl,
         sumTf = sumTf,
-        payload = Codec.encode(buf.toSeq)
+        payload = Codec.encode(buf.toSeq),
+        positions = if (anyPos) Codec.encodePositions(posBuf.toSeq)
+          else Array.emptyByteArray
       )
       blockIdx += 1
       block

@@ -49,8 +49,11 @@ object IndexStore {
     * refuse (and callers rebuild) older layouts. v4: manifest carries the
     * live dir lists (blockDirs/docDirs/termstatsDir) for atomic appends.
     * v5: manifest records the committed snapshot-id history so appends are
-    * idempotent against ANY replayed snapshot, not just the latest. */
-  val FormatVersion = 5
+    * idempotent against ANY replayed snapshot, not just the latest.
+    * v6: blocks carry a `positions` column (varint position lists for
+    * phrase queries; empty when built without storePositions) and the
+    * manifest records positional-ness. */
+  val FormatVersion = 6
 
   /** Committed snapshot ids kept in the manifest for append idempotence.
     * A streaming source with a checkpoint replays at most the last
@@ -100,7 +103,9 @@ object IndexStore {
       termstatsDir: String,
       complete: Boolean,
       // committed snapshot ids (oldest first, capped at SnapshotHistoryCap)
-      history: Seq[String] = Nil
+      history: Seq[String] = Nil,
+      // blocks carry term positions (phrase-query support)
+      positional: Boolean = false
   )
 
   // ------------------------------------------------------------- manifest IO
@@ -129,7 +134,7 @@ object IndexStore {
          |"k1":${m.k1},"b":${m.b},"numShards":${m.numShards},"shardSize":${m.shardSize},
          |"blockSize":${m.blockSize},"docCount":${m.docCount},"avgdl":${m.avgdl},
          |"blockDirs":${strArr(m.blockDirs)},"docDirs":${strArr(m.docDirs)},"termstatsDir":"${esc(m.termstatsDir)}",
-         |"snapshotHistory":${strArr(m.history)},
+         |"snapshotHistory":${strArr(m.history)},"positional":${m.positional},
          |"shards":$shards,"metrics":$metrics,"complete":${m.complete}}""".stripMargin
     val tmp = Paths.get(dir, "manifest.json.tmp")
     Files.createDirectories(tmp.getParent)
@@ -199,7 +204,9 @@ object IndexStore {
       docDirs = strArr("docDirs"),
       termstatsDir = str("termstatsDir"),
       complete = complete,
-      history = strArr("snapshotHistory")
+      history = strArr("snapshotHistory"),
+      positional = """"positional":(true|false)""".r
+        .findFirstMatchIn(s).exists(_.group(1) == "true")
     ))
   }
 
@@ -210,7 +217,8 @@ object IndexStore {
   private def configMatches(m: Manifest, cfg: IndexBuilder.Config): Boolean =
     m.analyzer == cfg.analyzer.fingerprint &&
       m.k1 == cfg.params.k1 && m.b == cfg.params.b &&
-      m.numShards == cfg.numShards && m.blockSize == cfg.blockSize
+      m.numShards == cfg.numShards && m.blockSize == cfg.blockSize &&
+      m.positional == cfg.storePositions
 
   /** Next monotonic staging generation for append/compact dir names
     * (tracked in metrics; strictly increasing, so a staging name can never
@@ -377,7 +385,7 @@ object IndexStore {
       cfg.numShards, shardSize, cfg.blockSize, corpus.docCount,
       corpus.avgdl, done.sortBy(_.shardId), metrics + ("dirGen" -> baseGen),
       blockDirs = blockDirs, docDirs = docDirs, termstatsDir = tsDir,
-      complete, history = Seq(snapshotId))
+      complete, history = Seq(snapshotId), positional = cfg.storePositions)
 
     val pending = allShards.filterNot(committed.contains)
     pending.grouped(math.max(1, commitBatchShards)).foreach { batch =>
@@ -487,6 +495,9 @@ object IndexStore {
       s"BM25 param mismatch: index=(${base.k1},${base.b}) cfg=(${cfg.params.k1},${cfg.params.b})")
     require(base.blockSize == cfg.blockSize,
       s"blockSize mismatch: index=${base.blockSize} cfg=${cfg.blockSize}")
+    require(base.positional == cfg.storePositions,
+      s"positional mismatch: index=${base.positional} cfg=${cfg.storePositions} " +
+        "(a mixed positional/non-positional index would silently break phrase queries)")
     // appending onto an EMPTY base (degenerate corpus) is just a build
     if (base.docCount == 0)
       return build(spark, newTurns, dir, snapshotId, cfg)
@@ -586,7 +597,8 @@ object IndexStore {
       docDirs = base.docDirs :+ deltaDocsDir,
       termstatsDir = tsDirFinal,
       complete = true,
-      history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap))
+      history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
+      positional = base.positional)
     if (failBeforeCommit)
       throw new RuntimeException("injected failure before append commit")
     writeManifest(dir, m) // THE commit point
@@ -633,11 +645,24 @@ object IndexStore {
     val stageDocs = s"compact-g$gen/docs"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/compact-g$gen"))
 
-    val postings = idx.blocks.toDF()
-      .select($"shardId", $"term",
-        explode(graft.plans.DecodeBlock($"payload", $"n")).as("p"))
-      .select($"shardId", $"term", $"p.docId".as("docId"),
-        $"p.tf".as("tf"), $"p.dl".as("dl"))
+    // positional indexes carry per-posting position lists through the
+    // re-block (block boundaries move; the lists themselves are unchanged)
+    val postings: DataFrame =
+      if (m.positional)
+        idx.blocks.flatMap { b =>
+          val ps = graft.index.Codec.decode(b.payload, b.n)
+          val poss = graft.index.Codec.decodePositions(b.positions, ps.map(_.tf))
+          ps.iterator.zip(poss.iterator).map { case (p, pos) =>
+            (b.shardId, b.term, p.docId, p.tf, p.dl, pos.toSeq)
+          }
+        }.toDF("shardId", "term", "docId", "tf", "dl", "pos")
+      else
+        idx.blocks.toDF()
+          .select($"shardId", $"term",
+            explode(graft.plans.DecodeBlock($"payload", $"n")).as("p"))
+          .select($"shardId", $"term", $"p.docId".as("docId"),
+            $"p.tf".as("tf"), $"p.dl".as("dl"),
+            array().cast("array<int>").as("pos"))
     // re-encode with the MANIFEST's block size — the manifest is the truth
     // about the on-disk layout, whatever cfg the caller passed
     val blocks = IndexBuilder.encodePostings(spark, postings,
@@ -709,7 +734,8 @@ object IndexStore {
       else m.blockDirs.map { d =>
         spark.read.parquet(s"$dir/$d")
           .select($"shardId".cast("int").as("shardId"), $"term", $"blockIdx",
-            $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf", $"payload")
+            $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf",
+            $"payload", $"positions")
       }.reduce(_.unionByName(_)).as[PostingBlock]
     val docs =
       if (m.docDirs.isEmpty) spark.emptyDataset[Doc]

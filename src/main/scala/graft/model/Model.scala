@@ -77,7 +77,12 @@ final case class PostingBlock(
     sumTf: Long, // total token occurrences in the block: corpus stats (df,
     // avgdl) are derived from the ~100x-smaller blocks relation instead of
     // caching the raw 25N-row postings
-    payload: Array[Byte]
+    payload: Array[Byte],
+    // varint position lists (Codec.encodePositions) when the index was
+    // built with storePositions; empty otherwise. A SEPARATE parquet column
+    // so BM25 paths that never project it never read it from disk —
+    // positions cost phrase queries only (the columnar .prx analogue).
+    positions: Array[Byte]
 )
 
 /** A scored query hit, decorated with the turn it came from. */

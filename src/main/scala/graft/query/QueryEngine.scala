@@ -97,6 +97,18 @@ object QueryEngine {
   /** Query-term state passed to executors: weight = qtf * idf. */
   private[query] final case class QTerm(term: String, weight: Double)
 
+  /** Blocks with the positions column replaced by an empty literal: the
+    * typed Dataset[PostingBlock] deserializer would otherwise force the
+    * parquet scan to read the phrase-only positions bytes on every BM25
+    * query of a positional index (asserted away in PlanSpec).
+    */
+  private def scoringBlocks(blocks: Dataset[PostingBlock]): Dataset[PostingBlock] = {
+    import blocks.sparkSession.implicits._
+    blocks.toDF()
+      .withColumn("positions", typedLit(Array.emptyByteArray))
+      .as[PostingBlock]
+  }
+
   /** Block-max WAND top-k over encoded blocks.
     *
     * @param blocks     the PostingBlock dataset/table (parquet-backed when
@@ -136,7 +148,7 @@ object QueryEngine {
     // shard groups); range partitioning keeps a shard's blocks together
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
-    val candidates = blocks
+    val candidates = scoringBlocks(blocks)
       .filter($"term".isin(names: _*))
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
@@ -191,7 +203,7 @@ object QueryEngine {
     val qB = spark.sparkContext.broadcast(perQuery)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
-    val candidates = blocks
+    val candidates = scoringBlocks(blocks)
       .filter($"term".isin(liveNames: _*))
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
@@ -203,6 +215,209 @@ object QueryEngine {
       .partitionBy($"qid").orderBy($"score".desc, $"docId".asc)
     candidates.withColumn("rn", row_number().over(w))
       .filter($"rn" <= k).drop("rn")
+  }
+
+  // --------------------------------------------------------------- phrase
+
+  /** Exact phrase top-k over a POSITIONAL index (built with
+    * `cfg.storePositions = true`): documents containing the analyzed
+    * phrase's terms at consecutive positions in the filtered token stream,
+    * scored as BM25 of the phrase-as-one-term — tf = phrase occurrence
+    * count, df = matching-doc count, idf = ln((N+1)/(df+1)). Standard
+    * Lucene PhraseQuery semantics under stopword removal ("state of the
+    * art" matches where "state art" are adjacent in the filtered stream).
+    *
+    * Plan: term-pushed block scan (positions column read ONLY here — BM25
+    * paths never project it) → per-shard document-at-a-time positional
+    * intersect in mapPartitions (docId-sharding co-locates all of a doc's
+    * postings, so no cross-shard coordination; candidates are bounded by
+    * the rarest term's postings — never a token-level explode/shuffle) →
+    * persisted match relation → global df → score + TakeOrderedAndProject.
+    */
+  def phraseTopK(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      corpus: CorpusStats,
+      phrase: String,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val lazyMatches = phraseMatches(spark, blocks, phrase, cfg)
+      .getOrElse(return emptyScores(spark))
+    // two consumers (df count + scoring): persisted, left to LRU eviction
+    // like the other one-shot sweep intermediates (TrainingData note)
+    val matches = lazyMatches.persist()
+    val dfp = matches.count()
+    if (dfp == 0) { matches.unpersist(); return emptyScores(spark) }
+    val p = cfg.params
+    // same association as the term scorer (contributionCol), qtf = 1;
+    // StrictMath.log matches Catalyst's log() used for the term idf
+    val idf = StrictMath.log((corpus.docCount + 1.0) / (dfp + 1.0))
+    matches
+      .select($"docId",
+        contributionCol(lit(1), lit(idf), $"tfp", $"dl", corpus.avgdl, p).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
+  /** The lazy (un-persisted) phrase match relation (docId, tfp, dl) —
+    * exposed separately so plan-shape tests can assert on the actual scan
+    * (term pushdown + positions column) before the persist hides it. None
+    * when the analyzed phrase is empty.
+    */
+  private[graft] def phraseMatches(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      phrase: String,
+      cfg: IndexBuilder.Config
+  ): Option[DataFrame] = {
+    import spark.implicits._
+    val terms = Analyzer.tokenize(phrase, cfg.analyzer) // order + duplicates matter
+    if (terms.isEmpty) return None
+    val distinctTerms = terms.distinct
+    val termsB = spark.sparkContext.broadcast(terms)
+    val parts = math.max(1, math.min(cfg.numShards,
+      spark.sparkContext.defaultParallelism))
+    Some(blocks
+      .filter($"term".isin(distinctTerms: _*))
+      .repartitionByRange(parts, $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .mapPartitions { it => PhraseScorer.matchPartition(it.buffered, termsB.value) }
+      .toDF("docId", "tfp", "dl"))
+  }
+
+  /** Positional intersect: emits (docId, phraseTf, dl) per matching doc. */
+  private[query] object PhraseScorer {
+
+    private final class PosCursor(blocks: Array[PostingBlock]) {
+      private var bi = 0
+      private var decoded: Array[Codec.P] = _
+      private var poss: Array[Array[Int]] = _
+      private var pi = 0
+      var exhausted: Boolean = false
+      loadBlock()
+
+      private def loadBlock(): Unit = {
+        val b = blocks(bi)
+        if (b.positions.isEmpty && b.sumTf > 0)
+          throw new IllegalStateException(
+            "phrase query requires a positional index (build with storePositions = true)")
+        decoded = Codec.decode(b.payload, b.n)
+        poss = Codec.decodePositions(b.positions, decoded.map(_.tf))
+        pi = 0
+      }
+
+      def curDoc: Long = decoded(pi).docId
+      def curDl: Int = decoded(pi).dl
+      def curPositions: Array[Int] = poss(pi)
+
+      def advance(): Unit = {
+        pi += 1
+        if (pi >= decoded.length) {
+          bi += 1
+          if (bi >= blocks.length) { exhausted = true; decoded = null; poss = null }
+          else loadBlock()
+        }
+      }
+
+      /** Skip to the first posting with docId >= target; whole blocks are
+        * skipped on maxDocId metadata without decoding. */
+      def advanceTo(target: Long): Unit = {
+        if (exhausted) return
+        if (blocks(bi).maxDocId < target) {
+          var nb = bi + 1
+          while (nb < blocks.length && blocks(nb).maxDocId < target) nb += 1
+          bi = nb
+          if (bi >= blocks.length) { exhausted = true; decoded = null; poss = null; return }
+          loadBlock()
+        }
+        while (decoded(pi).docId < target) pi += 1 // maxDocId bound => terminates
+      }
+    }
+
+    /** Rows must arrive sorted by (shardId, term, minDocId). */
+    def matchPartition(
+        it: BufferedIterator[PostingBlock],
+        terms: Seq[String]
+    ): Iterator[(Long, Int, Int)] = {
+      val distinctTerms = terms.distinct
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      while (it.hasNext) {
+        val shard = it.head.shardId
+        val byTerm = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
+        while (it.hasNext && it.head.shardId == shard) {
+          val blk = it.next()
+          byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
+        }
+        // docId-sharding co-locates a doc's postings: a match needs every
+        // distinct phrase term present in this shard
+        if (distinctTerms.forall(byTerm.contains)) {
+          val cursors = distinctTerms.map(t =>
+            t -> new PosCursor(byTerm(t).sortBy(_.minDocId).toArray)).toMap
+          out ++= intersectShard(cursors, terms)
+        }
+      }
+      out.iterator
+    }
+
+    /** Leapfrog docId intersection + consecutive-position count. */
+    private def intersectShard(
+        cursors: Map[String, PosCursor],
+        terms: Seq[String]
+    ): Seq[(Long, Int, Int)] = {
+      val cs = cursors.values.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      var done = false
+      while (!done) {
+        var target = Long.MinValue
+        var i = 0
+        while (i < cs.length && !done) {
+          if (cs(i).exhausted) done = true
+          else if (cs(i).curDoc > target) target = cs(i).curDoc
+          i += 1
+        }
+        if (!done) {
+          // advance all cursors to the current max docId
+          var aligned = true
+          var j = 0
+          while (j < cs.length && !done) {
+            if (cs(j).curDoc < target) {
+              cs(j).advanceTo(target)
+              if (cs(j).exhausted) done = true
+              else if (cs(j).curDoc != target) aligned = false
+            }
+            j += 1
+          }
+          if (!done && aligned) {
+            val tfp = phraseCount(terms, cursors)
+            if (tfp > 0) out += ((target, tfp, cs(0).curDl))
+            var m = 0
+            while (m < cs.length && !done) {
+              cs(m).advance()
+              if (cs(m).exhausted) done = true
+              m += 1
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    /** # of start positions p with terms(j) at p+j for all j. */
+    private def phraseCount(terms: Seq[String], cursors: Map[String, PosCursor]): Int = {
+      var candidates: Array[Int] = cursors(terms.head).curPositions
+      var j = 1
+      while (j < terms.length && candidates.nonEmpty) {
+        val next = cursors(terms(j)).curPositions // sorted ascending
+        val off = j
+        candidates = candidates.filter(p =>
+          java.util.Arrays.binarySearch(next, p + off) >= 0)
+        j += 1
+      }
+      candidates.length
+    }
   }
 
   /** Document-at-a-time WAND, one shard at a time within a partition. */

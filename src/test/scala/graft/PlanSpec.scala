@@ -64,6 +64,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(term"), p)
   }
 
+  test("WAND scoring never reads the positions column (columnar pruning)") {
+    // positions are a phrase-only column: the BM25 paths must not pay for
+    // them at the parquet scan, or enabling storePositions would tax every
+    // query. The index at `dir` IS positional (SparkEntry.cfg).
+    val idx = SparkEntry.index(spark, dir)
+    val p = plan(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "data spark", 10, SparkEntry.cfg))
+    // assert on the scan's column list (the ReadSchema string truncates)
+    val scanCols = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(scanCols.nonEmpty, p)
+    assert(!scanCols.exists(_.contains("positions#")),
+      "WAND scan reads the positions column:\n" + p)
+  }
+
+  test("phrase scan pushes the term predicate and reads positions") {
+    val idx = SparkEntry.index(spark, dir)
+    val p = plan(QueryEngine.phraseMatches(spark, idx.blocks,
+      "data spark", SparkEntry.cfg).get)
+    assert(p.contains("PushedFilters: [In(term"), p)
+    assert("FileScan parquet \\[[^\\]]*\\]".r.findAllIn(p)
+      .exists(_.contains("positions#")), p)
+  }
+
   test("batch WAND scans the block table once for the whole query batch") {
     val idx = SparkEntry.index(spark, dir)
     val qs = Seq("b1" -> "data spark", "b2" -> "join stream", "b3" -> "window")

@@ -20,7 +20,7 @@ class WandUnitSpec extends AnyFunSuite {
   private def blk(shard: Int, term: String, idx: Int, ps: Seq[P]): PostingBlock =
     PostingBlock(shard, term, idx, ps.head.docId, ps.last.docId, ps.size,
       ps.map(_.tf).max, ps.map(_.dl).min, ps.map(_.tf.toLong).sum,
-      Codec.encode(ps))
+      Codec.encode(ps), Array.emptyByteArray)
 
   /** Scalar exhaustive top-k over decoded blocks (same formula, same
     * tie-break).
