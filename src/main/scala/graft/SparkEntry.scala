@@ -56,7 +56,11 @@ object SparkEntry {
     relCache.getOrElseUpdate(cacheKey(s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val docsDir = s"${sys.props("java.io.tmpdir")}/graft-docs-$safe"
-      IndexBuilder.relations(s, turns(s, dir), docsDir, cfg)
+      // positions matter only to the encoded-block path (where columnar
+      // pruning makes them free); the relational form would persist a pos
+      // array per posting that nothing reads
+      IndexBuilder.relations(s, turns(s, dir), docsDir,
+        cfg.copy(storePositions = false))
     })
 
   private[graft] def index(s: SparkSession, dir: String): IndexStore.Index =
@@ -240,11 +244,10 @@ object SparkEntry {
                  FROM lineitem_v GROUP BY l_returnflag""")
       })
     )
+    // the canonical bm25_q* entries ARE the WAND path (the former
+    // bm25_wand_* aliases were byte-identical duplicates and were folded in)
     val bm25Qs = querySet.map { case (qid, text) =>
       s"bm25_$qid" -> ((s: SparkSession, dir: String) => bm25Wand(s, dir, text))
-    }
-    val wandQs = querySet.map { case (qid, _) =>
-      s"bm25_wand_$qid" -> ((s: SparkSession, dir: String) => bm25Wand(s, dir, queryText(qid)))
     }
     val servingQs = Seq("q1", "q6", "q10").map { qid =>
       s"bm25_serving_$qid" -> ((s: SparkSession, dir: String) => bm25Serving(s, dir, queryText(qid)))
@@ -254,7 +257,7 @@ object SparkEntry {
     }
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
-    base ++ bm25Qs ++ wandQs ++ servingQs ++ phraseQs ++ batchQ
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -344,6 +347,14 @@ object SparkEntry {
     */
   private def phraseOracleSql(phrase: String): String = {
     val terms = Analyzer.tokenize(phrase, cfg.analyzer)
+    // mirror the engine (phraseMatches returns None): an all-stopword
+    // phrase is an empty result, not a crash while building the oracle map
+    if (terms.isEmpty)
+      return s"""WITH $cteTranscripts,
+                |$cteDocs
+                |SELECT CAST(0 AS INT) AS rank, doc_id, CAST(0.0 AS DOUBLE) AS score,
+                |       conv_id, turn_idx, text
+                |FROM docs WHERE false""".stripMargin
     val k1 = cfg.params.k1
     val b = cfg.params.b
     val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
@@ -422,9 +433,6 @@ object SparkEntry {
           |FROM lineitem GROUP BY 1""".stripMargin
     )
     val bm25Qs = querySet.map { case (qid, text) => s"bm25_$qid" -> bm25OracleSql(text) }
-    val wandQs = querySet.map { case (qid, _) =>
-      s"bm25_wand_$qid" -> bm25OracleSql(queryText(qid))
-    }
     val servingQs = Seq("q1", "q6", "q10").map { qid =>
       s"bm25_serving_$qid" -> bm25ServingOracleSql(queryText(qid))
     }
@@ -435,6 +443,6 @@ object SparkEntry {
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
-    base ++ bm25Qs ++ wandQs ++ servingQs ++ phraseQs ++ batchOracle
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ batchOracle
   }
 }

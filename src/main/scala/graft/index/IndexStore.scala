@@ -170,10 +170,14 @@ object IndexStore {
       .findFirstMatchIn(s).map(_.group(1)).getOrElse("0")
     // exact-equality version check (a substring test would accept v40, v41…)
     if (num("formatVersion").toDouble.toInt != FormatVersion) return None
-    def strArr(k: String): Seq[String] = s"""\"$k\":\\[([^\\]]*)\\]""".r
-      .findFirstMatchIn(s).map(_.group(1)).toSeq.flatMap { body =>
-        """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(m => unesc(m.group(1)))
-      }
+    // the array body is parsed as a sequence of QUOTED strings (escapes
+    // honored), never by scanning for ']' — a caller-supplied snapshotId
+    // containing ']' must not truncate the history (or any dir list)
+    def strArr(k: String): Seq[String] =
+      s"""\"$k\":\\[((?:\"(?:[^\"\\\\]|\\\\.)*\"|,)*)\\]""".r
+        .findFirstMatchIn(s).map(_.group(1)).toSeq.flatMap { body =>
+          """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(m => unesc(m.group(1)))
+        }
     val shardRe =
       """\{"shardId":(\d+),"postings":(\d+),"blocks":(\d+),"payloadBytes":(\d+),"checksum":(-?\d+)\}""".r
     val shards = shardRe.findAllMatchIn(s).map { m =>

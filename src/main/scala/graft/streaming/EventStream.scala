@@ -75,18 +75,21 @@ object EventStream {
   /** @param compactAfterDeltas when > 0, compact the index back to a
     *        single block dir once more than this many dirs accumulate
     *        (the Lucene-merge policy knob; 0 = never)
-    * @param checkpointDir Structured Streaming checkpoint location. A
-    *        long-lived ingest MUST set this: without it a restarted stream
-    *        re-reads the source with batchIds starting over at 0. Replayed
-    *        batches are harmless either way — appendSnapshot is idempotent
-    *        against the manifest's full committed snapshot-id history — but
-    *        the checkpoint is what makes a restart resume instead of
-    *        re-scanning everything.
+    * @param checkpointDir Structured Streaming checkpoint location —
+    *        REQUIRED, because the sink's idempotence is keyed by batchId:
+    *        under a checkpoint, Spark's replay contract guarantees a
+    *        replayed batchId carries the same data, so the manifest's
+    *        snapshot-id history makes every retry/restart exactly-once.
+    *        Without a checkpoint a restarted source re-batches from
+    *        scratch, and a batchId no longer identifies batch CONTENT —
+    *        data that arrived while the stream was down would be silently
+    *        skipped as "already committed". Making the parameter mandatory
+    *        closes that failure mode instead of documenting it.
     */
   def indexTurns(spark: SparkSession, turns: DataFrame, indexDir: String,
+      checkpointDir: String,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      compactAfterDeltas: Int = 0,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      compactAfterDeltas: Int = 0): StreamingQuery = {
     val writer = turns.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -102,7 +105,7 @@ object EventStream {
         }
         ()
       }
-    checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    writer.option("checkpointLocation", checkpointDir).start()
   }
 
   /** Drive a streaming query synchronously to completion on a static dir

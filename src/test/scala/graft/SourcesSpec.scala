@@ -36,7 +36,9 @@ class SourcesSpec extends AnyFunSuite {
       blockDirs = Seq("blocks", "delta-v1/blocks"),
       docDirs = Seq("docs", "delta-v1/docs"),
       termstatsDir = "termstats-v1", complete = true,
-      history = Seq("snap \"quoted\"\nnewline", "snap-2"))
+      // ']' in an id must not truncate the array parse; quotes/newlines
+      // must round-trip through the escaper
+      history = Seq("snap \"quoted\"\nnewline", "batch[3]", "snap-2"))
     IndexStore.writeManifest(dir, m)
     val got = IndexStore.readManifest(dir)
     assert(got.contains(m))

@@ -55,7 +55,8 @@ class StreamingSpec extends AnyFunSuite {
     spark.createDataset(base)(enc).coalesce(1).write.mode("append").parquet(srcDir)
     val stream = spark.readStream.schema(enc.schema)
       .option("pathGlobFilter", "*.parquet").parquet(srcDir)
-    val q = graft.streaming.EventStream.indexTurns(spark, stream, idxDir, cfg)
+    val q = graft.streaming.EventStream.indexTurns(spark, stream, idxDir,
+      Files.createTempDirectory("graft-stream-ckpt").toString, cfg)
     try {
       q.processAllAvailable()
       val idx1 = IndexStore.load(spark, idxDir)
@@ -94,8 +95,7 @@ class StreamingSpec extends AnyFunSuite {
     def startQuery() = {
       val stream = spark.readStream.schema(enc.schema)
         .option("pathGlobFilter", "*.parquet").parquet(srcDir)
-      graft.streaming.EventStream.indexTurns(spark, stream, idxDir, cfg,
-        checkpointDir = Some(ckptDir))
+      graft.streaming.EventStream.indexTurns(spark, stream, idxDir, ckptDir, cfg)
     }
 
     spark.createDataset(base)(enc).coalesce(1).write.mode("append").parquet(srcDir)
