@@ -126,8 +126,10 @@ object IndexBuilder {
     // values that were co-located all along. shardId = docId/shardSize is a
     // column, not a layout — the one posting-level exchange happens in
     // encodeBlocks. Positional builds derive tf from the in-row position
-    // lists (tf = |positions|); non-positional builds carry an empty pos
-    // column so the encoder schema is uniform (a few bytes per row).
+    // lists (tf = |positions|); non-positional builds carry NO pos column
+    // at all — even an empty-array column costs ~16 B/posting through the
+    // encode shuffle, measured as a 25% local[16] build-throughput hit on
+    // this bandwidth-bound box (166k -> 123k turns/s).
     val tokenized = docs.toDF()
       .select((col("docId") / shardSize).cast("int").as("shardId"),
         $"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
@@ -141,8 +143,7 @@ object IndexBuilder {
         tokenized
           .select($"shardId", $"docId", size($"toks").as("dl"),
             explode(graft.plans.TermFreqs($"toks")).as(Seq("term", "tf")))
-          .select($"shardId", $"term", $"docId", $"tf", $"dl",
-            array().cast("array<int>").as("pos"))
+          .select($"shardId", $"term", $"docId", $"tf", $"dl")
     Prepared(docs, postings, n, shardSize)
   }
 
@@ -202,15 +203,31 @@ object IndexBuilder {
     val parts = if (cfg.encodePartitions > 0) cfg.encodePartitions
       else spark.sparkContext.defaultParallelism
 
-    postings
+    // the shuffled row is (shardId, term, docId, tf, dl) + pos ONLY for
+    // positional builds — non-positional postings have no pos column and
+    // the empty lists are synthesized after the exchange, where they cost
+    // an allocation instead of shuffle bytes
+    val hasPos = postings.columns.contains("pos")
+    val exchanged = postings
       .repartition(parts, $"shardId", $"term")
       .sortWithinPartitions($"shardId", $"term", $"docId")
-      .select($"shardId", $"term", $"docId", $"tf", $"dl", $"pos")
-      .as[(Int, String, Long, Int, Int, Seq[Int])]
-      .mapPartitions { it =>
-        new BlockEncodeIterator(it.buffered, blockSize)
-      }
+    if (hasPos)
+      exchanged
+        .select($"shardId", $"term", $"docId", $"tf", $"dl", $"pos")
+        .as[(Int, String, Long, Int, Int, Seq[Int])]
+        .mapPartitions { it => new BlockEncodeIterator(it.buffered, blockSize) }
+    else
+      exchanged
+        .select($"shardId", $"term", $"docId", $"tf", $"dl")
+        .as[(Int, String, Long, Int, Int)]
+        .mapPartitions { it =>
+          new BlockEncodeIterator(
+            it.map(t => (t._1, t._2, t._3, t._4, t._5, EmptyPos)).buffered, blockSize)
+        }
   }
+
+  private val EmptyPos: Seq[Int] = Nil
+  private val EmptyIntArray: Array[Int] = Array.emptyIntArray
 
   /** BM25 per-term partial (without idf) — delegates to the ONE formula
     * definition in [[graft.query.Bm25.partial]] so the block-bound math
@@ -251,8 +268,11 @@ object IndexBuilder {
         }) {
         val (_, _, docId, tf, dl, pos) = it.next()
         buf += Codec.P(docId, tf, dl)
-        posBuf += pos.toArray
-        if (pos.nonEmpty) anyPos = true
+        // shared empty singleton: pos.toArray would allocate a fresh empty
+        // array per posting on non-positional builds (~10^8 per 2M-turn
+        // build — measurable GC pressure on the encode stage)
+        if (pos.isEmpty) posBuf += EmptyIntArray
+        else { posBuf += pos.toArray; anyPos = true }
         if (tf > maxTf) maxTf = tf
         if (dl < minDl) minDl = dl
         sumTf += tf

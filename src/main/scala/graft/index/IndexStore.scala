@@ -665,8 +665,7 @@ object IndexStore {
           .select($"shardId", $"term",
             explode(graft.plans.DecodeBlock($"payload", $"n")).as("p"))
           .select($"shardId", $"term", $"p.docId".as("docId"),
-            $"p.tf".as("tf"), $"p.dl".as("dl"),
-            array().cast("array<int>").as("pos"))
+            $"p.tf".as("tf"), $"p.dl".as("dl"))
     // re-encode with the MANIFEST's block size — the manifest is the truth
     // about the on-disk layout, whatever cfg the caller passed
     val blocks = IndexBuilder.encodePostings(spark, postings,
