@@ -121,6 +121,28 @@ class PhraseSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction preserves positions: phrase answers identical after compact") {
+    // exercises the positional re-block path in IndexStore.compact (decode
+    // positions -> re-exchange -> re-encode with moved block boundaries)
+    val base = TranscriptGen.turns(seed = 84, nConvs = 20).map(t => t.copy(conv_id = "a-" + t.conv_id))
+    val delta = TranscriptGen.turns(seed = 85, nConvs = 15).map(t => t.copy(conv_id = "b-" + t.conv_id))
+    val dir = Files.createTempDirectory("graft-phrase-cmp").toString
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    IndexStore.build(spark, spark.createDataset(base)(enc), dir, "c-base", cfg)
+    IndexStore.appendSnapshot(spark, spark.createDataset(delta)(enc), dir, "c-delta", cfg)
+    val all = base ++ delta
+    val queries = Seq("term0000 term0001", "term0002 term0000")
+    val before = queries.map(p => phraseTop(IndexStore.load(spark, dir), p, 10))
+    assert(before.exists(_.nonEmpty), "fixture produced no phrase matches — vacuous")
+    val compacted = IndexStore.compact(spark, dir, cfg)
+    assert(compacted.manifest.positional && compacted.manifest.blockDirs.size == 1)
+    val idx = IndexStore.load(spark, dir)
+    queries.zip(before).foreach { case (p, want) =>
+      assert(phraseTop(idx, p, 10) == want, s"post-compact phrase drift for [$p]")
+      assert(phraseTop(idx, p, 10) == phraseOracle(all, p, 10), s"post-compact oracle mismatch for [$p]")
+    }
+  }
+
   test("phrase query against a NON-positional index fails loudly, not silently-empty") {
     val turns = Seq(
       Turn("c0", 0, "user", "data spark data", "", new java.sql.Timestamp(0L)))
