@@ -167,6 +167,15 @@ object SparkEntry {
     finish(top, idx.docs, k)
   }
 
+  /** Mixed query: quoted phrase as filter, full-query BM25 as rank. */
+  private[graft] def bm25PhraseFilter(s: SparkSession, dir: String,
+      terms: String, phrase: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.phraseFilterRank(s, idx.blocks, idx.termStats,
+      idx.corpus, terms, phrase, WandFetchK, cfg)
+    finish(top, idx.docs, k)
+  }
+
   /** All reference queries scored in ONE job (shared scan + decode),
     * per-qid round→rank like `finish`.
     */
@@ -255,9 +264,12 @@ object SparkEntry {
     val phraseQs = phraseSet.map { case (pid, text) =>
       s"phrase_$pid" -> ((s: SparkSession, dir: String) => bm25Phrase(s, dir, text))
     }
+    val mixedQ = Map(
+      "phrase_filter_rank" -> ((s: SparkSession, dir: String) =>
+        bm25PhraseFilter(s, dir, "spark join", "fast table")))
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
-    base ++ bm25Qs ++ servingQs ++ phraseQs ++ batchQ
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -342,6 +354,20 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS fpos
        |  FROM rawtoks WHERE term NOT IN ($sqlStopList))""".stripMargin
 
+  /** Phrase adjacency-match CTEs: mm(doc_id, tfp) for the given token
+    * sequence over the filtered positions (`ptoks` must be in scope).
+    */
+  private def phraseMatchCtes(terms: Seq[String]): String = {
+    val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
+      s"JOIN ptoks p$j ON p$j.doc_id = m0.doc_id AND p$j.term = '$t' AND p$j.fpos = m0.fpos + $j"
+    }.mkString("\n       ")
+    s"""m0 AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
+       |mm AS (SELECT m0.doc_id, count(*) AS tfp
+       |       FROM m0
+       |       $joins
+       |       GROUP BY 1)""".stripMargin
+  }
+
   /** Phrase BM25 oracle: adjacency joins on filtered positions, phrase tf /
     * df / idf, the same contribution shape as [[bm25OracleSql]] with qtf=1.
     */
@@ -357,18 +383,11 @@ object SparkEntry {
                 |FROM docs WHERE false""".stripMargin
     val k1 = cfg.params.k1
     val b = cfg.params.b
-    val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
-      s"JOIN ptoks p$j ON p$j.doc_id = m0.doc_id AND p$j.term = '$t' AND p$j.fpos = m0.fpos + $j"
-    }.mkString("\n       ")
     s"""WITH $cteTranscripts,
        |$cteDocs,
        |$cteTokens,
        |$ctePosToks,
-       |m0 AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
-       |mm AS (SELECT m0.doc_id, count(*) AS tfp
-       |       FROM m0
-       |       $joins
-       |       GROUP BY 1),
+       |${phraseMatchCtes(terms)},
        |dfp AS (SELECT count(*) AS c FROM mm),
        |scores AS (
        |  SELECT mm.doc_id,
@@ -378,6 +397,36 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
        |       s.doc_id, s.score, dd.conv_id, dd.turn_idx, dd.text
        |FROM scores s JOIN docs dd ON s.doc_id = dd.doc_id
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Mixed-query oracle: phrase adjacency as a filter, full-query BM25 as
+    * rank — mirrors [[QueryEngine.phraseFilterRank]].
+    */
+  private def phraseFilterRankOracleSql(freeTerms: String, phrase: String): String = {
+    val pTerms = Analyzer.tokenize(phrase, cfg.analyzer)
+    val qterms = Analyzer.analyzeQuery(freeTerms + " " + phrase, cfg.analyzer)
+    val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |$ctePosToks,
+       |${phraseMatchCtes(pTerms)},
+       |q(term, qtf) AS (VALUES $values),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c
+       |  WHERE p.doc_id IN (SELECT doc_id FROM mm)),
+       |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
+       |FROM scores s JOIN docs d USING (doc_id)
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
 
@@ -439,10 +488,12 @@ object SparkEntry {
     val phraseQs = phraseSet.map { case (pid, text) =>
       s"phrase_$pid" -> phraseOracleSql(text)
     }
+    val mixedQ = Map(
+      "phrase_filter_rank" -> phraseFilterRankOracleSql("spark join", "fast table"))
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
-    base ++ bm25Qs ++ servingQs ++ phraseQs ++ batchOracle
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ batchOracle
   }
 }

@@ -261,6 +261,60 @@ object QueryEngine {
       .limit(k)
   }
 
+  /** Mixed quoted + free-term query — the search-box semantics for
+    * `spark join "data stream"`: the quoted phrase is a FILTER (docs must
+    * contain the exact adjacency), and ranking is full BM25 over ALL the
+    * query's terms (phrase words included as regular terms). Exact at any
+    * scale: the candidate set is bounded by the phrase's rarest term, the
+    * term postings come from the term-pushed block scan, and the phrase
+    * survivors prune them with a semi-join before any scoring — no
+    * full-corpus work anywhere.
+    */
+  def phraseFilterRank(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      freeTerms: String,
+      phrase: String,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val matches = phraseMatches(spark, blocks, phrase, cfg)
+      .getOrElse(return emptyScores(spark))
+    val analyzed = Analyzer.analyzeQuery(freeTerms + " " + phrase, cfg.analyzer)
+    val names = analyzed.map(_._1)
+    val idfs: Map[String, Double] = termStats
+      .filter($"term".isin(names: _*))
+      .collect().map(t => t.term -> t.idf).toMap
+    val live = analyzed.filter { case (t, _) => idfs.contains(t) }
+    if (live.isEmpty) return emptyScores(spark)
+    val qdf = broadcast(live.map { case (t, qtf) => (t, qtf, idfs(t)) }
+      .toDF("term", "qtf", "idf"))
+    val p = cfg.params
+    // postings of the query's terms via the SQL-visible block decode (term
+    // predicate pushed; positions column never read)
+    val post = scoringBlocks(blocks).toDF()
+      .filter($"term".isin(names: _*))
+      .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
+      .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
+    post
+      .join(matches.select($"docId"), Seq("docId"), "left_semi")
+      .join(qdf, Seq("term"))
+      .withColumn("contrib",
+        contributionCol($"qtf", $"idf", $"tf", $"dl", corpus.avgdl, p))
+      // deterministic per-doc fold in ascending term order (same shape as
+      // exhaustiveTopK — never more elements than query terms)
+      .groupBy($"docId")
+      .agg(collect_list(struct($"term", $"contrib")).as("cs"))
+      .select($"docId",
+        aggregate(array_sort($"cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   /** The lazy (un-persisted) phrase match relation (docId, tfp, dl) —
     * exposed separately so plan-shape tests can assert on the actual scan
     * (term pushdown + positions column) before the persist hides it. None

@@ -121,6 +121,35 @@ class PhraseSpec extends AnyFunSuite {
     }
   }
 
+  /** Scalar mixed-query oracle: phrase filter, rank by full-query BM25. */
+  private def filterRankOracle(turns: Seq[Turn], freeTerms: String, phrase: String,
+      k: Int): Seq[(Long, Double)] = {
+    val c = OracleBM25.corpus(turns, cfg.analyzer)
+    val pTerms = Analyzer.tokenize(phrase, cfg.analyzer)
+    val matching = c.docs.filter { case (_, text) =>
+      val toks = Analyzer.tokenize(text, cfg.analyzer).toArray
+      (0 to toks.length - pTerms.length).exists(i =>
+        pTerms.indices.forall(j => toks(i + j) == pTerms(j)))
+    }.map(_._1).toSet
+    OracleBM25.topK(c, freeTerms + " " + phrase, Int.MaxValue, cfg.analyzer)
+      .filter { case (d, _) => matching.contains(d) }
+      .take(k)
+  }
+
+  test("mixed query: phrase filters, full-query BM25 ranks (vs scalar oracle)") {
+    val turns = TranscriptGen.turns(seed = 86, nConvs = 40)
+    val idx = buildIndex(turns, "graft-phrase-mixed")
+    Seq(("term0002 term0005", "term0000 term0001"),
+      ("term0003", "term0001 term0000")).foreach { case (free, phrase) =>
+      val want = filterRankOracle(turns, free, phrase, 10)
+      val got = QueryEngine.phraseFilterRank(spark, idx.blocks, idx.termStats,
+        idx.corpus, free, phrase, 10, cfg)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(want.nonEmpty, s"vacuous fixture for [$free | $phrase]")
+      assert(got == want, s"mixed-query mismatch for [$free | $phrase]")
+    }
+  }
+
   test("compaction preserves positions: phrase answers identical after compact") {
     // exercises the positional re-block path in IndexStore.compact (decode
     // positions -> re-exchange -> re-encode with moved block boundaries)
