@@ -106,6 +106,11 @@ object SparkEntry {
     "p4" -> "zzznotaterm data" // absent term -> empty result
   )
 
+  /** The mixed-query fixture: (free terms, quoted phrase) — ONE definition
+    * shared by the engine entry and its oracle so they can never diverge.
+    */
+  private[graft] val mixedQuery: (String, String) = ("spark join", "fast table")
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -266,7 +271,7 @@ object SparkEntry {
     }
     val mixedQ = Map(
       "phrase_filter_rank" -> ((s: SparkSession, dir: String) =>
-        bm25PhraseFilter(s, dir, "spark join", "fast table")))
+        bm25PhraseFilter(s, dir, mixedQuery._1, mixedQuery._2)))
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ batchQ
@@ -405,6 +410,15 @@ object SparkEntry {
     */
   private def phraseFilterRankOracleSql(freeTerms: String, phrase: String): String = {
     val pTerms = Analyzer.tokenize(phrase, cfg.analyzer)
+    // same guard as phraseOracleSql: an all-stopword phrase is an empty
+    // result (engine: phraseMatches = None), never a crash while the whole
+    // oracle map is being built
+    if (pTerms.isEmpty)
+      return s"""WITH $cteTranscripts,
+                |$cteDocs
+                |SELECT CAST(0 AS INT) AS rank, doc_id, CAST(0.0 AS DOUBLE) AS score,
+                |       conv_id, turn_idx, text
+                |FROM docs WHERE false""".stripMargin
     val qterms = Analyzer.analyzeQuery(freeTerms + " " + phrase, cfg.analyzer)
     val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
     val k1 = cfg.params.k1
@@ -489,7 +503,7 @@ object SparkEntry {
       s"phrase_$pid" -> phraseOracleSql(text)
     }
     val mixedQ = Map(
-      "phrase_filter_rank" -> phraseFilterRankOracleSql("spark join", "fast table"))
+      "phrase_filter_rank" -> phraseFilterRankOracleSql(mixedQuery._1, mixedQuery._2))
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"

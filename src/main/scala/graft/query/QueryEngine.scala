@@ -300,7 +300,13 @@ object QueryEngine {
       .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
       .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
     post
-      .join(matches.select($"docId"), Seq("docId"), "left_semi")
+      // the phrase-survivor set is bounded by the rarest phrase term and a
+      // quoted phrase is selective by construction — broadcast it so the
+      // (potentially head-term-sized) decoded postings are pruned in place
+      // instead of shuffle-exchanged into a sort-merge semi-join; a phrase
+      // of pure head terms big enough to blow the broadcast limit would
+      // need the shuffle fallback a planner rule could pick by size
+      .join(broadcast(matches.select($"docId")), Seq("docId"), "left_semi")
       .join(qdf, Seq("term"))
       .withColumn("contrib",
         contributionCol($"qtf", $"idf", $"tf", $"dl", corpus.avgdl, p))

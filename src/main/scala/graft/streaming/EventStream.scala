@@ -82,6 +82,14 @@ object EventStream {
     *        single-dir baseline, and its one-off cost (~6.6s at 800k
     *        turns) amortizes over the queries served between compactions.
     *        4 dirs caps the degradation near +30%.
+    *        READER CONTRACT: a compaction commit deletes the superseded
+    *        block/doc dirs, so a serving session holding a pre-compaction
+    *        `IndexStore.load` handle can hit missing files on its next
+    *        scan — serving sessions should re-load the index per batch of
+    *        queries (the manifest read is one small file), or the ingest
+    *        should pin compactAfterDeltas = 0 and compact in maintenance
+    *        windows. A refcounted grace period is the multi-reader
+    *        production extension; out of scope here.
     * @param checkpointDir Structured Streaming checkpoint location —
     *        REQUIRED, because the sink's idempotence is keyed by batchId:
     *        under a checkpoint, Spark's replay contract guarantees a

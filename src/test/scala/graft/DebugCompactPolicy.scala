@@ -52,7 +52,6 @@ object DebugCompactPolicy {
 
     // base build, then append deltas one at a time, measuring after each
     IndexStore.build(spark, Bench.syntheticTurns(spark, baseTurns), dir, "cp-base", cfg)
-    var offset = baseTurns
     val rows = Seq.newBuilder[String]
     val (p50o, p95o) = queryStats()
     rows += f"deltas=0 dirs=1 p50=${p50o}%.3f p95=${p95o}%.3f"
@@ -63,7 +62,6 @@ object DebugCompactPolicy {
         .selectExpr(s"concat('d$i-', cid0) AS conv_id", "turn_idx", "role", "text", "tool", "ts")
         .as[graft.model.Turn](org.apache.spark.sql.Encoders.product[graft.model.Turn])
       IndexStore.appendSnapshot(spark, d, dir, s"cp-delta-$i", cfg)
-      offset += deltaTurns
       val m = IndexStore.readManifest(dir).get
       val (p50, p95) = queryStats()
       rows += f"deltas=$i dirs=${m.blockDirs.size} p50=${p50}%.3f p95=${p95}%.3f"
