@@ -308,6 +308,9 @@ class IncrementalSpec extends AnyFunSuite {
     def ds(ts: Seq[Turn]) = spark.createDataset(ts)(enc)
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed * 991L)
+      // alternate positional-ness so append/compact exercise the position
+      // re-block paths under random crash/retry sequences too
+      val cfg = IncrementalSpec.this.cfg.copy(storePositions = seed % 2 == 0)
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
       var corpus = shiftConvs(TranscriptGen.turns(seed * 7L, nConvs = 12), f"a$seed%02d-")
       IndexStore.build(spark, ds(corpus), dir, s"fuzz-$seed-base", cfg)

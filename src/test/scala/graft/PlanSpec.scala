@@ -96,6 +96,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected ONE shared block scan, got $scans:\n$p")
   }
 
+  test("FWCI composite broadcasts the tiny (field, year) baseline") {
+    // the baseline is #fields x #years rows: at corpus scale the fact
+    // table must never be shuffle-exchanged twice for the re-join
+    val p = plan(graft.operators.Relational.queries("fwci_percentile")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "baseline re-join degraded to SMJ:\n" + p)
+  }
+
   test("embedding-cosine dedup joins on the probe key (no nested-loop pair join)") {
     val p = plan(graft.operators.TrainingData.queries("dedup_embedding_cosine")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
