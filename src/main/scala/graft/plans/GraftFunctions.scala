@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's custom Catalyst expressions, so
+  * `spark.sql("SELECT term_freqs(...)")` works alongside the Column API.
+  *
+  * Two entry points, one function list:
+  *   - [[GraftFunctions.registerAll]] — register on an existing session
+  *     (temp functions; what Verify/tests use);
+  *   - [[GraftExtensions]] — a `spark.sql.extensions` class
+  *     (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`)
+  *     injecting the same functions at session build time, the deployment
+  *     shape for a shared cluster where sessions are created by a platform
+  *     launcher rather than engine code.
+  */
+object GraftFunctions {
+
+  /** (name, usage, builder) — the single source for both entry points. */
+  private[plans] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("term_freqs", "term_freqs(array<string>) - per-document token counts as map<string,int>",
+      exprs => TermFreqs(exprs.head)),
+    ("term_positions", "term_positions(array<string>) - 1-based token positions as map<string,array<int>>",
+      exprs => TermPositions(exprs.head)),
+    ("decode_block", "decode_block(payload, n) - decode a varint posting block to array<struct<docId,tf,dl>>",
+      exprs => DecodeBlock(exprs(0), exprs(1))),
+    ("lower_root", "lower_root(string) - Locale.ROOT lowercase (JVM-default-locale-proof)",
+      exprs => LowerRoot(exprs.head)),
+    ("filter_stopwords_en", "filter_stopwords_en(array<string>) - drop Spark ML English stopwords",
+      exprs => FilterStopwords(exprs.head,
+        graft.functions.Analyzer.englishStopwords.toSeq.sorted))
+  )
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.plans", name, usage)
+
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+  private[plans] def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point (see [[GraftFunctions]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}
