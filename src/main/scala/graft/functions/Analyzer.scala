@@ -71,19 +71,18 @@ object Analyzer {
   }
 
   /** Catalyst-native analyzer: Column of array<string>. Stays inside
-    * whole-stage codegen (no UDF). Lowercasing goes through the custom
-    * `lower_root` expression: Spark's built-in `lower()` uses the JVM
-    * DEFAULT locale on its non-ASCII slow path, which would break parity
-    * with `tokenize`'s Locale.ROOT on e.g. tr-TR JVMs.
+    * whole-stage codegen (no UDF). The whole pipeline (Locale.ROOT
+    * lowercase → word-break → stopword filter) is FUSED into one
+    * single-pass expression with an ASCII byte-level fast path
+    * (graft.plans.AnalyzeText) — measured 2.3x faster than the composed
+    * lower_root → regexp_extract_all → filter_stopwords pipeline on the
+    * build's hottest stage (DebugTok: 0.28 s vs 0.65 s warm per 1M turns /
+    * 24M tokens at local[16]); the composed expressions remain available
+    * individually (SQL registration, plan debugging). Parity with
+    * `tokenize` is property-tested — rank-identity rests on it.
     */
-  def tokensCol(text: Column, cfg: Config = default): Column = {
-    val toks = regexp_extract_all(graft.plans.LowerRoot(text), lit(TokenPattern), lit(0))
-    if (cfg.stopwords.isEmpty) toks
-    // custom expression: O(1) interned-hash-set lookup per token instead of
-    // a 181-literal isin chain (the build's hottest stage — see
-    // graft.plans.FilterStopwords)
-    else graft.plans.FilterStopwords(toks, cfg.stopwords)
-  }
+  def tokensCol(text: Column, cfg: Config = default): Column =
+    graft.plans.AnalyzeText(text, cfg.stopwords)
 
   /** Query analysis: the SAME function as indexing (north rule / SURVEY
     * §7.1). Returns (term, queryTf) with terms ascending — the pinned

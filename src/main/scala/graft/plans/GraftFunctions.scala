@@ -31,6 +31,9 @@ object GraftFunctions {
       exprs => LowerRoot(exprs.head)),
     ("filter_stopwords_en", "filter_stopwords_en(array<string>) - drop Spark ML English stopwords",
       exprs => FilterStopwords(exprs.head,
+        graft.functions.Analyzer.englishStopwords.toSeq.sorted)),
+    ("analyze_text", "analyze_text(string) - the full analyzer (ROOT lowercase + unicode word-break + English stopword filter), fused single pass",
+      exprs => AnalyzeText(exprs.head,
         graft.functions.Analyzer.englishStopwords.toSeq.sorted))
   )
 

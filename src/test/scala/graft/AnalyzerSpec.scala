@@ -63,7 +63,15 @@ class AnalyzerSpec extends AnyFunSuite {
     val samples: Seq[String] =
       TestKit.TranscriptGen.turns(seed = 7, nConvs = 30).map(_.text) ++
         Seq(null, "", "   ", "Hello, Wörld 世界 42 café—test", "ROCKET🚀ship",
-          "the DATA and a Table", "İİİ", "ẞss", "ＡＢＣ１２３")
+          "the DATA and a Table", "İİİ", "ẞss", "ＡＢＣ１２３",
+          // fused-analyzer boundary cases: pure-ASCII fast path (upper,
+          // lower, stopword-cased, digit runs, no-op rows), length-changing
+          // ROOT lowercase, supplementary-plane numbers (No category),
+          // Roman numerals (Nl), combining marks as separators
+          "PURE ASCII UPPER 123", "already lower 456", "THE The the",
+          "a", "Z", "1", "!@#$", "x".repeat(1000) + " THE end",
+          "İstanbul", "İ", "Ⅻ roman", "① circled", "𝟘 math", "éclair",
+          "mixed ASCII then 世界 then MORE ascii")
     val df = samples.toDF("text")
     val got = df.select(Analyzer.tokensCol($"text", cfg)).collect()
       .map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))

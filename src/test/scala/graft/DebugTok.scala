@@ -28,8 +28,14 @@ object DebugTok {
         val c = turns.select(explode(col).as("t")).count()
         println(f"TOK $label%-12s rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s ($c tokens)")
       }
-    run("regex-only")(Analyzer.tokensCol($"text", Analyzer.noStopwords))
-    run("hashset")(Analyzer.tokensCol($"text", Analyzer.default))
+    // alternate pipelines twice to cancel JIT-order bias
+    (1 to 2).foreach { round =>
+      println(s"--- round $round ---")
+      run("regex-only")(Analyzer.tokensCol($"text", Analyzer.noStopwords))
+      run("hashset")(Analyzer.tokensCol($"text", Analyzer.default))
+      run("fused")(graft.plans.AnalyzeText($"text", Analyzer.englishStopwords))
+      run("fused-nostop")(graft.plans.AnalyzeText($"text", Set.empty))
+    }
     run("isin")(filter(
       regexp_extract_all(lower($"text"), lit(Analyzer.TokenPattern), lit(0)),
       t => !t.isin(stop: _*)))
