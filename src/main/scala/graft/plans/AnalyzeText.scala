@@ -57,27 +57,22 @@ case class AnalyzeText(child: Expression, stopwords: Seq[String])
 
 object AnalyzeText {
 
-  private val interned =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], java.util.HashSet[UTF8String]]()
-
+  // one interning table for the whole package (FilterStopwords owns it)
   private[plans] def intern(words: Seq[String]): java.util.HashSet[UTF8String] =
-    interned.computeIfAbsent(words, { ws =>
-      val s = new java.util.HashSet[UTF8String](ws.size * 2)
-      ws.foreach(w => s.add(UTF8String.fromString(w)))
-      s
-    })
+    FilterStopwords.intern(words)
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
   /** Called from generated code. */
   def analyze(text: UTF8String, stop: java.util.HashSet[UTF8String]): ArrayData = {
-    val raw = text.getBytes
-    val n = raw.length
+    val n = text.numBytes()
     if (n == 0) return Empty
+    // probe bytes in place (no materialization) — a non-ASCII row must not
+    // pay a discarded full-row copy on its way to the String path
     var i = 0
     var ascii = true
-    while (i < n && ascii) { if (raw(i) < 0) ascii = false; i += 1 }
-    if (ascii) asciiScan(raw, stop) else genericScan(text.toString, stop)
+    while (i < n && ascii) { if (text.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) asciiScan(text.getBytes, stop) else genericScan(text.toString, stop)
   }
 
   /** Pure-byte scan: the input is all-ASCII, where Locale.ROOT lowercase is

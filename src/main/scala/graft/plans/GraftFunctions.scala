@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Two entry points, one function list:
   *   - [[GraftFunctions.registerAll]] — register on an existing session
-  *     (temp functions; what Verify/tests use);
+  *     (temp functions; what the SQL-surface tests use);
   *   - [[GraftExtensions]] — a `spark.sql.extensions` class
   *     (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`)
   *     injecting the same functions at session build time, the deployment
@@ -37,18 +37,34 @@ object GraftFunctions {
         graft.functions.Analyzer.englishStopwords.toSeq.sorted))
   )
 
+  // ExpressionInfo's 3-arg ctor is (className, db, name) — NOT name+usage;
+  // the 5-arg form carries usage/extended in the right slots
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.plans", name, usage)
+    new ExpressionInfo(classOf[GraftExtensions].getPackageName, null, name, usage, "")
+
+  /** Wrong-arity SQL calls must fail with a clear message, not a raw
+    * IndexOutOfBounds from a blind exprs(i).
+    */
+  private def arity(n: Int, name: String,
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      b(exprs)
+    }
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+        .createOrReplaceTempFunction(name, arity(argCount(name), name, builder), "scala_udf")
     }
+
+  private def argCount(name: String): Int = if (name == "decode_block") 2 else 1
 
   private[plans] def inject(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, usage, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        arity(argCount(name), name, builder)))
     }
 }
 

@@ -261,6 +261,12 @@ object QueryEngine {
       .limit(k)
   }
 
+  /** Max phrase-survivor rows phraseFilterRank will broadcast (~32 MB of
+    * docIds at 4M — comfortably under broadcast limits); beyond it the
+    * semi-join degrades to a shuffle join rather than risking the driver.
+    */
+  val PhraseBroadcastCap = 4000000L
+
   /** Mixed quoted + free-term query — the search-box semantics for
     * `spark join "data stream"`: the quoted phrase is a FILTER (docs must
     * contain the exact adjacency), and ranking is full BM25 over ALL the
@@ -281,8 +287,11 @@ object QueryEngine {
       cfg: IndexBuilder.Config = IndexBuilder.Config()
   ): DataFrame = {
     import spark.implicits._
+    // persisted: consumed by the size probe below AND the semi-join
     val matches = phraseMatches(spark, blocks, phrase, cfg)
-      .getOrElse(return emptyScores(spark))
+      .getOrElse(return emptyScores(spark)).persist()
+    val nMatches = matches.count()
+    if (nMatches == 0) { matches.unpersist(); return emptyScores(spark) }
     val analyzed = Analyzer.analyzeQuery(freeTerms + " " + phrase, cfg.analyzer)
     val names = analyzed.map(_._1)
     val idfs: Map[String, Double] = termStats
@@ -299,14 +308,19 @@ object QueryEngine {
       .filter($"term".isin(names: _*))
       .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
       .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
-    post
-      // the phrase-survivor set is bounded by the rarest phrase term and a
-      // quoted phrase is selective by construction — broadcast it so the
-      // (potentially head-term-sized) decoded postings are pruned in place
-      // instead of shuffle-exchanged into a sort-merge semi-join; a phrase
-      // of pure head terms big enough to blow the broadcast limit would
-      // need the shuffle fallback a planner rule could pick by size
-      .join(broadcast(matches.select($"docId")), Seq("docId"), "left_semi")
+    // the phrase-survivor set is bounded by the rarest phrase term and a
+    // quoted phrase is selective by construction — broadcast it (when the
+    // MEASURED count allows) so the potentially head-term-sized decoded
+    // postings are pruned in place instead of shuffle-exchanged into a
+    // sort-merge semi-join; a phrase of pure head terms whose survivor set
+    // exceeds the cap degrades to the shuffle join instead of blowing the
+    // driver with an unconditional broadcast hint
+    val survivors = matches.select($"docId")
+    val prunedPost =
+      if (nMatches <= PhraseBroadcastCap)
+        post.join(broadcast(survivors), Seq("docId"), "left_semi")
+      else post.join(survivors, Seq("docId"), "left_semi")
+    prunedPost
       .join(qdf, Seq("term"))
       .withColumn("contrib",
         contributionCol($"qtf", $"idf", $"tf", $"dl", corpus.avgdl, p))
