@@ -328,6 +328,26 @@ object TrainingData {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the train/test-overlap step every LLM
+    * data pipeline runs before training (the GPT-3-style n-gram
+    * decontamination): flag every corpus document sharing at least one
+    * 3-token shingle with the benchmark/eval set, with the count of
+    * distinct shared shingles. The benchmark side is small by construction
+    * (eval sets are thousands of docs, not billions), so its distinct
+    * shingle set is BROADCAST and the corpus-side shingle stream is pruned
+    * in place — the corpus is never shuffled on shingles, and no df cap is
+    * needed because the join fan-out is bounded by the benchmark's size.
+    */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val corpusSh = shingleSets(docs, maxDf = Long.MaxValue)
+    val benchSh = shingleSets(benchmark, maxDf = Long.MaxValue)
+      .select(col("sh")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   // -------------------------------------------------- cluster resolution
 
   /** Connected components over a near-dup pair relation via alternating
@@ -422,6 +442,15 @@ object TrainingData {
     "ann_lsh_bucket" -> ((s, dir) => annLshTopK(embTable(s, dir))),
 
     "dedup_embedding_cosine" -> ((s, dir) => embeddingCosinePairs(embTable(s, dir))),
+
+    // benchmark decontamination: corpus docs sharing a 3-gram with the
+    // held-out set (deterministic split: doc_id % 97 == 0 is "benchmark")
+    "decontaminate" -> ((s, dir) => {
+      val all = docsTable(s, dir)
+      contaminationFlags(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0))
+    }),
 
     // cluster resolution: pairs → (doc_id, cluster_id, keep) via
     // large-star/small-star connected components over the LSH pair relation
@@ -623,6 +652,18 @@ object TrainingData {
            |  ${cosineSql("e.v", "q.qv")} AS cos
            |FROM e, q WHERE e.vec_id > 0
            |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      "decontaminate" ->
+        s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
+           |shu AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(list_transform(range(1, len(toks) - 1),
+           |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+           |  FROM tk WHERE len(toks) >= 3),
+           |bench AS (SELECT DISTINCT sh FROM shu WHERE doc_id % 97 = 0)
+           |SELECT s.doc_id, count(*) AS n_hits
+           |FROM shu s JOIN bench b USING (sh)
+           |WHERE s.doc_id % 97 <> 0
+           |GROUP BY 1""".stripMargin,
       "dedup_clusters" ->
         s"""WITH RECURSIVE pairs AS (
            |$minhashOracle

@@ -173,6 +173,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 7L, 9L))
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq(
+      (1000L, "the capital of france is paris obviously"),
+      (1001L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      // contains a verbatim benchmark passage → flagged
+      (0L, "padding words capital of france is paris more padding"),
+      // shares only single words, never 3 consecutive → clean
+      (1L, "france alpha paris beta capital gamma"),
+      // verbatim copy of the whole second benchmark doc → flagged
+      (2L, "alpha beta gamma delta epsilon"),
+      // unrelated → clean
+      (3L, "completely different content here entirely")).toDF("doc_id", "text")
+    val got = TrainingData.contaminationFlags(docs, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0L, 2L), s"got $got")
+    // doc 2 shares all 3 distinct trigrams of bench doc 1001
+    assert(got(2L) == 3L)
+  }
+
   test("ann_lsh_bucket: non-empty + scan-fraction recall floor on random vectors") {
     // the driver's embeddings are STRUCTURELESS random vectors — the worst
     // case for any LSH: cosine neighbors are near-uniform, so expected
