@@ -304,6 +304,46 @@ object TrainingData {
       .limit(k)
   }
 
+  val IvfCentroids = 16
+  val IvfProbes = 4
+
+  /** IVF-flat ANN — the Spark-side analogue of the reference's FAISS IVFPQ
+    * coarse quantizer (build_index.py:37-44), deterministic so the oracle
+    * is exact: centroids are the vectors with ids 1..[[IvfCentroids]]
+    * (a seeded sample in production; fixed ids keep both engines
+    * bit-identical), every vector is assigned to its most-similar centroid
+    * (rounded cosine, centroid-id tie-break) via a map-side
+    * groupBy-max(struct) — NO per-vector window shuffle — and a query
+    * probes its [[IvfProbes]] nearest inverted lists, exact-cosine
+    * reranking only those candidates (~probes/centroids of the corpus).
+    * At index scale the assignment is computed once at build time and
+    * stored; recall vs [[annCosineTopK]] is measured in TrainingDataSpec.
+    */
+  def annIvfTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val sims = e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineOf("v", "cv"))
+    // argmin by (sim desc, cid asc) without a window: max over a struct
+    // whose field order is (sim, -cid) — partial-aggregable map-side
+    val assigned = sims
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"), col("cid"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
+    val qProbe = sims.filter(col("vec_id") === 0)
+      .orderBy(col("sim").desc, col("cid").asc).limit(IvfProbes)
+      .select(col("cid"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    assigned.filter(col("vec_id") > 0)
+      .join(broadcast(qProbe), Seq("cid"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosineCol.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: each vector is
     * multi-probed into its Hamming<=1 bucket ball (5 keys), pairs come
     * from the EQUI-join on the probe key (two vectors whose buckets differ
@@ -440,6 +480,8 @@ object TrainingData {
     "ann_cosine_topk" -> ((s, dir) => annCosineTopK(embTable(s, dir))),
 
     "ann_lsh_bucket" -> ((s, dir) => annLshTopK(embTable(s, dir))),
+
+    "ann_ivf_topk" -> ((s, dir) => annIvfTopK(embTable(s, dir))),
 
     "dedup_embedding_cosine" -> ((s, dir) => embeddingCosinePairs(embTable(s, dir))),
 
@@ -590,6 +632,26 @@ object TrainingData {
        |  THEN ${1 << j} ELSE 0 END)""".stripMargin
   }.mkString("\n  + ")
 
+  /** SQL twin of [[annIvfTopK]] (window-based argmin — oracle-side only). */
+  private def annIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+       |sims AS (SELECT e.vec_id, e.v, c.cid,
+       |  ${cosineSql("e.v", "c.cv")} AS sim
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, v, cid FROM (
+       |  SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM sims) WHERE rn = 1),
+       |qprobe AS (SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT $IvfProbes),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT a.vec_id,
+       |  ${cosineSql("a.v", "q.qv")} AS cos
+       |FROM assigned a JOIN qprobe USING (cid) CROSS JOIN q
+       |WHERE a.vec_id > 0
+       |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+
   private def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
@@ -679,6 +741,7 @@ object TrainingData {
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin,
       "ann_lsh_bucket" -> annLshOracle,
+      "ann_ivf_topk" -> annIvfOracle,
       "dedup_embedding_cosine" -> embCosineOracle,
       "lang_id" ->
         """SELECT doc_id, lang,

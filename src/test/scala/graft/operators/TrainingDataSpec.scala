@@ -207,6 +207,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.1, f"recall $recall%.2f below even the random floor")
   }
 
+  test("ann_ivf: non-empty on random vectors; high recall on clustered embeddings") {
+    // random vectors: recall ~ scanned fraction (probes/centroids = 4/16)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exactR = TrainingData.annCosineTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val ivfR = TrainingData.annIvfTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    assert(ivfR.nonEmpty, "IVF probe lists must not be vacuous")
+    info(f"ann-IVF recall@10 on random vectors = ${(ivfR & exactR).size / 10.0}%.2f (scan fraction 4/16)")
+    // clustered regime: same-cluster vectors assign to the same centroid,
+    // so probing the query's nearest lists holds nearly all true neighbors
+    val rnd = new scala.util.Random(123L)
+    val dims = 64
+    val centers = (0 until 16).map(_ => Array.fill(dims)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val rows = (0L until 400L).map { id =>
+      val c = centers((id % 16).toInt)
+      (id, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val exact = TrainingData.annCosineTopK(clustered, 10).collect().map(_.getLong(0)).toSet
+    val ivf = TrainingData.annIvfTopK(clustered, 10).collect().map(_.getLong(0)).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"ann-IVF recall@10 on clustered vectors = $recall%.2f")
+    assert(recall >= 0.7, f"clustered IVF recall $recall%.2f below 0.7")
+  }
+
   test("ann_lsh_bucket: high recall on clustered embeddings") {
     // realistic regime: embeddings cluster (the reference's SciBERT vectors
     // do); same-cluster vectors land in the same sign-projection bucket,
