@@ -110,6 +110,18 @@ class PlanSpec extends AnyFunSuite {
       "pair generation degraded to a cross join:\n" + p)
   }
 
+  test("decontamination broadcasts the benchmark shingles (corpus never shuffled on shingles)") {
+    val p = plan(graft.operators.TrainingData.queries("decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "benchmark overlap degraded to a corpus-wide shingle shuffle:\n" + p)
+  }
+
+  test("IVF assignment is a partial-aggregable groupBy, not a per-vector window") {
+    val p = plan(graft.operators.TrainingData.queries("ann_ivf_topk")(spark, dir))
+    assert(!p.contains("Window"), "IVF argmin fell back to a window:\n" + p)
+  }
+
   test("doc lookup is a pushed-down parquet point read") {
     val p = plan(SparkEntry.queries("doc_lookup")(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(docId), EqualTo(docId,123)"), p)
