@@ -74,18 +74,30 @@ object TrainingData {
 
   // --------------------------------------------------------------- shingles
 
-  /** (doc_id, shingle): distinct 3-gram shingles, df-capped. */
+  /** (doc_id, shingle): distinct 3-gram shingles, df-capped.
+    *
+    * Per-doc dedup happens IN-ROW (array_distinct before the explode — a
+    * doc's shingles all live in its own token array), so the relation is a
+    * narrow transform of the corpus: a `.distinct()` here would shuffle
+    * every (doc, shingle) pair in the corpus just to remove duplicates
+    * that never left their row. The df-cap groupBy is the only shingle
+    * shuffle, and only when a cap is actually requested — uncapped callers
+    * (decontamination, whose fan-out is bounded by the benchmark side)
+    * stay shuffle-free.
+    */
   def shingleSets(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
     val sh0 = docs
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))")))
         .as("sh"))
-      .distinct()
-    val good = sh0.groupBy(col("sh")).agg(count(lit(1)).as("shdf"))
-      .filter(col("shdf") <= maxDf).select(col("sh"))
-    sh0.join(good, Seq("sh"), "left_semi")
+    if (maxDf == Long.MaxValue) sh0
+    else {
+      val good = sh0.groupBy(col("sh")).agg(count(lit(1)).as("shdf"))
+        .filter(col("shdf") <= maxDf).select(col("sh"))
+      sh0.join(good, Seq("sh"), "left_semi")
+    }
   }
 
   // ---------------------------------------------------------- bounded pairs
@@ -380,12 +392,23 @@ object TrainingData {
     * in place — the corpus is never shuffled on shingles, and no df cap is
     * needed because the join fan-out is bounded by the benchmark's size.
     */
+  /** Benchmark shingle sets above this size take the shuffle join instead
+    * of a broadcast (~100 MB of shingle strings at 2M — a benchmark that
+    * large is a misconfigured split, but it must degrade, not OOM the
+    * driver). */
+  val ContaminationBroadcastCap = 2000000L
+
   def contaminationFlags(docs: DataFrame, benchmark: DataFrame): DataFrame = {
     val corpusSh = shingleSets(docs, maxDf = Long.MaxValue)
+    // persisted: consumed by the size probe AND the join
     val benchSh = shingleSets(benchmark, maxDf = Long.MaxValue)
-      .select(col("sh")).distinct()
-    corpusSh.join(broadcast(benchSh), Seq("sh"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .select(col("sh")).distinct().persist()
+    val nBench = benchSh.count()
+    val joined =
+      if (nBench <= ContaminationBroadcastCap)
+        corpusSh.join(broadcast(benchSh), Seq("sh"))
+      else corpusSh.join(benchSh, Seq("sh"))
+    joined.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
   }
 
   // -------------------------------------------------- cluster resolution
@@ -555,14 +578,21 @@ object TrainingData {
   // corpus that did would need a custom DuckDB UDF oracle for tokens.
   private val tokSql = "regexp_extract_all(lower(text), '[\\pL\\pN]+')"
 
-  /** Shared shingle CTEs (mirrors [[shingleSets]] incl. the df cap). */
-  private def shingleCtes: String =
+  /** Uncapped per-doc-distinct shingles — ONE definition shared by the
+    * capped CTE below and the decontamination oracle, so the shingle
+    * construction can never drift between oracles.
+    */
+  private def shingleBaseCtes: String =
     s"""tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |sh0 AS (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(toks) - 1),
        |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-       |  FROM tk WHERE len(toks) >= 3),
+       |  FROM tk WHERE len(toks) >= 3)""".stripMargin
+
+  /** Shared shingle CTEs (mirrors [[shingleSets]] incl. the df cap). */
+  private def shingleCtes: String =
+    s"""$shingleBaseCtes,
        |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
        |       JOIN (SELECT sh FROM sh0 GROUP BY 1 HAVING count(*) <= $MaxShingleDf) g
        |       USING (sh))""".stripMargin
@@ -715,15 +745,10 @@ object TrainingData {
            |FROM e, q WHERE e.vec_id > 0
            |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
       "decontaminate" ->
-        s"""WITH tk AS (SELECT doc_id, $tokSql AS toks FROM documents),
-           |shu AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest(list_transform(range(1, len(toks) - 1),
-           |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
-           |  FROM tk WHERE len(toks) >= 3),
-           |bench AS (SELECT DISTINCT sh FROM shu WHERE doc_id % 97 = 0)
+        s"""WITH $shingleBaseCtes,
+           |bench AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 97 = 0)
            |SELECT s.doc_id, count(*) AS n_hits
-           |FROM shu s JOIN bench b USING (sh)
+           |FROM sh0 s JOIN bench b USING (sh)
            |WHERE s.doc_id % 97 <> 0
            |GROUP BY 1""".stripMargin,
       "dedup_clusters" ->

@@ -115,11 +115,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"),
       "benchmark overlap degraded to a corpus-wide shingle shuffle:\n" + p)
+    // the invariant itself: NO exchange keyed on the corpus's (doc_id, sh)
+    // pairs — per-doc shingle dedup must stay in-row (array_distinct), and
+    // only the small benchmark side may exchange on sh for its distinct
+    assert(!"hashpartitioning\\(doc_id#\\d+, sh#".r.findFirstIn(p).isDefined,
+      "corpus shingles were shuffled for the per-doc distinct:\n" + p)
   }
 
   test("IVF assignment is a partial-aggregable groupBy, not a per-vector window") {
     val p = plan(graft.operators.TrainingData.queries("ann_ivf_topk")(spark, dir))
     assert(!p.contains("Window"), "IVF argmin fell back to a window:\n" + p)
+    // positive shape: the argmin IS a map-side partial max over the struct
+    assert(p.contains("partial_max") || p.contains("functions=[max("),
+      "IVF assignment lost its partial-aggregable max:\n" + p)
   }
 
   test("doc lookup is a pushed-down parquet point read") {
