@@ -111,6 +111,21 @@ object SparkEntry {
     */
   private[graft] val mixedQuery: (String, String) = ("spark join", "fast table")
 
+  /** Conjunctive (boolean AND) queries: every term required, `-term`
+    * excludes — the all-terms search-box semantics WAND's disjunctive
+    * top-k doesn't give.
+    */
+  private[graft] val andSet: Seq[(String, String)] = Seq(
+    "q1" -> "spark join data", // all three required
+    "q2" -> "data join -stream", // exclusion: drop docs containing "stream"
+    "q3" -> "join zzznotaterm" // absent REQUIRED term -> empty (unlike WAND)
+  )
+
+  /** Proximity phrase fixture: ("a b"~slop) ordered chains within the
+    * window, slop 0 = adjacency.
+    */
+  private[graft] val slopQuery: (String, Int) = ("data stream", 2)
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -178,6 +193,23 @@ object SparkEntry {
     val idx = index(s, dir)
     val top = QueryEngine.phraseFilterRank(s, idx.blocks, idx.termStats,
       idx.corpus, terms, phrase, WandFetchK, cfg)
+    finish(top, idx.docs, k)
+  }
+
+  /** Conjunctive (AND / -term) query through the leapfrog intersect. */
+  private[graft] def bm25And(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.conjunctiveTopK(s, idx.blocks, idx.termStats,
+      idx.corpus, q, WandFetchK, cfg)
+    finish(top, idx.docs, k)
+  }
+
+  /** Proximity phrase ("a b"~slop) through the positional index. */
+  private[graft] def bm25PhraseSlop(s: SparkSession, dir: String,
+      phrase: String, slop: Int, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase,
+      WandFetchK, cfg, slop)
     finish(top, idx.docs, k)
   }
 
@@ -272,9 +304,15 @@ object SparkEntry {
     val mixedQ = Map(
       "phrase_filter_rank" -> ((s: SparkSession, dir: String) =>
         bm25PhraseFilter(s, dir, mixedQuery._1, mixedQuery._2)))
+    val andQs = andSet.map { case (qid, text) =>
+      s"bm25_and_$qid" -> ((s: SparkSession, dir: String) => bm25And(s, dir, text))
+    }
+    val slopQ = Map(
+      "phrase_slop" -> ((s: SparkSession, dir: String) =>
+        bm25PhraseSlop(s, dir, slopQuery._1, slopQuery._2)))
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
-    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ batchQ
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ slopQ ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -342,6 +380,89 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
        |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
        |FROM scores s JOIN docs d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Conjunctive (AND / -term) oracle: candidate docs must contain ALL
+    * required analyzed terms (GROUP BY doc HAVING count(distinct term) = n
+    * — a required term absent from the corpus makes the result empty) and
+    * none of the excluded terms; ranking is the same BM25 fold as
+    * [[bm25OracleSql]] over the required terms.
+    */
+  private def bm25AndOracleSql(queryText: String): String = {
+    val (posText, negRaw) = QueryEngine.parseBoolean(queryText)
+    val qterms = Analyzer.analyzeQuery(posText, cfg.analyzer)
+    val negTerms = negRaw.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
+    val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+    val nReq = qterms.map(_._1).distinct.size
+    val exclPred =
+      if (negTerms.isEmpty) ""
+      else "\n    AND p.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN (" +
+        negTerms.map(t => s"'$t'").mkString(", ") + "))"
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |q(term, qtf) AS (VALUES $values),
+       |m AS (SELECT p.doc_id FROM post p JOIN q USING (term)
+       |      GROUP BY 1 HAVING count(DISTINCT p.term) = $nReq),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c
+       |  WHERE p.doc_id IN (SELECT doc_id FROM m)$exclPred),
+       |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
+       |FROM scores s JOIN docs d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Slop-phrase match CTEs: mm(doc_id, tfp) where tfp counts start
+    * positions with a strictly increasing chain of the terms whose span is
+    * <= (n-1)+slop. The per-step bound `p_j <= start + j + slop` is implied
+    * by the final-span bound, so adding it changes nothing semantically —
+    * it just keeps the join fan-out linear in slop.
+    */
+  private def phraseSlopMatchCtes(terms: Seq[String], slop: Int): String = {
+    val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
+      val prev = if (j == 1) "m0.fpos" else s"p${j - 1}.fpos"
+      s"JOIN ptoks p$j ON p$j.doc_id = m0.doc_id AND p$j.term = '$t' " +
+        s"AND p$j.fpos > $prev AND p$j.fpos <= m0.fpos + ${j + slop}"
+    }.mkString("\n       ")
+    s"""m0 AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
+       |cand AS (SELECT DISTINCT m0.doc_id, m0.fpos
+       |       FROM m0
+       |       $joins),
+       |mm AS (SELECT doc_id, count(*) AS tfp FROM cand GROUP BY 1)""".stripMargin
+  }
+
+  /** Proximity-phrase BM25 oracle — [[phraseOracleSql]] with the slop
+    * chain CTEs in place of exact adjacency.
+    */
+  private def phraseSlopOracleSql(phrase: String, slop: Int): String = {
+    val terms = Analyzer.tokenize(phrase, cfg.analyzer)
+    require(terms.nonEmpty, s"empty analyzed slop phrase: $phrase")
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |$ctePosToks,
+       |${phraseSlopMatchCtes(terms, slop)},
+       |dfp AS (SELECT count(*) AS c FROM mm),
+       |scores AS (
+       |  SELECT mm.doc_id,
+       |    round(ln((c.n + 1.0) / (dfp.c + 1.0)) *
+       |      (mm.tfp * ($k1 + 1.0) / (mm.tfp + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))), 4) AS score
+       |  FROM mm JOIN dstat d ON mm.doc_id = d.doc_id CROSS JOIN corpus c CROSS JOIN dfp)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, dd.conv_id, dd.turn_idx, dd.text
+       |FROM scores s JOIN docs dd ON s.doc_id = dd.doc_id
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
 
@@ -504,10 +625,15 @@ object SparkEntry {
     }
     val mixedQ = Map(
       "phrase_filter_rank" -> phraseFilterRankOracleSql(mixedQuery._1, mixedQuery._2))
+    val andQs = andSet.map { case (qid, text) =>
+      s"bm25_and_$qid" -> bm25AndOracleSql(text)
+    }
+    val slopQ = Map(
+      "phrase_slop" -> phraseSlopOracleSql(slopQuery._1, slopQuery._2))
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
-    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ batchOracle
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ slopQ ++ batchOracle
   }
 }

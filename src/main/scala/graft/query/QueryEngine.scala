@@ -217,6 +217,185 @@ object QueryEngine {
       .filter($"rn" <= k).drop("rn")
   }
 
+  // --------------------------------------------- conjunctive (boolean AND)
+
+  /** Split a search-box query into (positive text, excluded terms): a
+    * whitespace token starting with '-' is an exclusion ("spark join
+    * -stream"), everything else is a required term. Both sides go through
+    * the ordinary analyzer, so exclusions follow the same case/word-break
+    * rules as the index.
+    */
+  private[graft] def parseBoolean(query: String): (String, Seq[String]) = {
+    val (neg, pos) = query.split("\\s+").toSeq.filter(_.nonEmpty)
+      .partition(t => t.length > 1 && t.startsWith("-"))
+    (pos.mkString(" "), neg.map(_.drop(1)))
+  }
+
+  /** Conjunctive (boolean AND) top-k: only documents containing EVERY
+    * analyzed query term qualify, ranked by full BM25 over those terms;
+    * `-term` tokens exclude documents containing the term. This is the
+    * semantics most search boxes apply to plain multi-word queries (the
+    * reference UI's free-text search implies it, App.js) — WAND's
+    * disjunctive top-k is the recall-oriented complement.
+    *
+    * Exactness and scale: candidates are intersected per docId-range shard
+    * with the same leapfrog skip machinery as the phrase engine (blocks
+    * skipped on maxDocId metadata without decoding), so work is bounded by
+    * the RAREST required term's postings — never a corpus scan; a required
+    * term absent from the corpus short-circuits to an empty result on the
+    * driver. The term predicate is pushed to the parquet block scan like
+    * every other query path.
+    */
+  def conjunctiveTopK(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      query: String,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val (posText, negRaw) = parseBoolean(query)
+    val analyzed = Analyzer.analyzeQuery(posText, cfg.analyzer)
+    if (analyzed.isEmpty) return emptyScores(spark)
+    val negTerms = negRaw.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
+    val allNames = (analyzed.map(_._1) ++ negTerms).distinct
+    val idfs: Map[String, Double] = termStats
+      .filter($"term".isin(allNames: _*))
+      .collect().map(t => t.term -> t.idf).toMap
+    // AND semantics: a required term with no postings means no document
+    // can match — unlike WAND, absent terms are not dropped
+    if (analyzed.exists { case (t, _) => !idfs.contains(t) })
+      return emptyScores(spark)
+    val qts = analyzed.map { case (t, qtf) => QTerm(t, qtf * idfs(t)) }.sortBy(_.term)
+    // an excluded term with no postings excludes nothing
+    val excl = negTerms.filter(idfs.contains)
+    val scanNames = (qts.map(_.term) ++ excl).distinct
+
+    val p = cfg.params
+    val avgdl = corpus.avgdl
+    val kk = k
+    val qtsB = spark.sparkContext.broadcast(qts)
+    val exclB = spark.sparkContext.broadcast(excl)
+    val parts = math.max(1, math.min(cfg.numShards,
+      spark.sparkContext.defaultParallelism))
+    scoringBlocks(blocks)
+      .filter($"term".isin(scanNames: _*))
+      .repartitionByRange(parts, $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .mapPartitions { it =>
+        ConjunctiveScorer.scorePartition(it.buffered, qtsB.value, exclB.value,
+          kk, p.k1, p.b, avgdl)
+      }
+      .toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
+  /** All-terms-required intersect + BM25 scoring per shard. */
+  private[query] object ConjunctiveScorer {
+    import WandScorer.Cursor
+
+    /** Rows must arrive sorted by (shardId, term, minDocId). */
+    def scorePartition(
+        it: BufferedIterator[PostingBlock],
+        qts: Seq[QTerm],
+        excluded: Seq[String],
+        k: Int,
+        k1: Double, b: Double, avgdl: Double
+    ): Iterator[(Long, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (it.hasNext) {
+        val shard = it.head.shardId
+        val byTerm = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
+        while (it.hasNext && it.head.shardId == shard) {
+          val blk = it.next()
+          byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
+        }
+        // docId-sharding co-locates a doc's postings: a match needs every
+        // required term present in this shard
+        if (qts.forall(q => byTerm.contains(q.term))) {
+          // qts is term-sorted, so contributions sum in ascending term
+          // order — the pinned summation order of every scoring path
+          val req = qts.map(q => new Cursor(q.term, q.weight,
+            byTerm(q.term).sortBy(_.minDocId).toArray, k1, b, avgdl)).toArray
+          val not = excluded.flatMap(t => byTerm.get(t).map(bs =>
+            new Cursor(t, 0.0, bs.sortBy(_.minDocId).toArray, k1, b, avgdl))).toArray
+          out ++= intersectShard(req, not, k)
+        }
+      }
+      out.iterator
+    }
+
+    /** Leapfrog intersect over the required cursors; heap top-k under the
+      * global tie-break (score desc, docId asc).
+      */
+    private def intersectShard(req: Array[Cursor], not: Array[Cursor],
+        k: Int): Seq[(Long, Double)] = {
+      implicit val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+        def compare(a: (Long, Double), b: (Long, Double)): Int = {
+          val c = java.lang.Double.compare(b._2, a._2) // smaller score first
+          if (c != 0) c else java.lang.Long.compare(a._1, b._1) // larger docId first
+        }
+      }
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
+      var done = false
+      while (!done) {
+        var target = Long.MinValue
+        var i = 0
+        while (i < req.length && !done) {
+          if (req(i).exhausted) done = true
+          else if (req(i).curDoc > target) target = req(i).curDoc
+          i += 1
+        }
+        if (!done) {
+          var aligned = true
+          var j = 0
+          while (j < req.length && !done) {
+            if (req(j).curDoc < target) {
+              req(j).advanceTo(target)
+              if (req(j).exhausted) done = true
+              else if (req(j).curDoc != target) aligned = false
+            }
+            j += 1
+          }
+          if (!done && aligned) {
+            var dropped = false
+            var x = 0
+            while (x < not.length && !dropped) {
+              if (!not(x).exhausted) {
+                not(x).advanceTo(target)
+                if (!not(x).exhausted && not(x).curDoc == target) dropped = true
+              }
+              x += 1
+            }
+            if (!dropped) {
+              var score = 0.0
+              var m = 0
+              while (m < req.length) { score += req(m).currentContribution(); m += 1 }
+              if (heap.size < k) heap.enqueue((target, score))
+              else {
+                val worst = heap.head
+                if (score > worst._2 || (score == worst._2 && target < worst._1)) {
+                  heap.dequeue(); heap.enqueue((target, score))
+                }
+              }
+            }
+            var a = 0
+            while (a < req.length && !done) {
+              req(a).advance()
+              if (req(a).exhausted) done = true
+              a += 1
+            }
+          }
+        }
+      }
+      heap.dequeueAll.reverse
+    }
+  }
+
   // --------------------------------------------------------------- phrase
 
   /** Exact phrase top-k over a POSITIONAL index (built with
@@ -226,6 +405,12 @@ object QueryEngine {
     * count, df = matching-doc count, idf = ln((N+1)/(df+1)). Standard
     * Lucene PhraseQuery semantics under stopword removal ("state of the
     * art" matches where "state art" are adjacent in the filtered stream).
+    *
+    * `slop > 0` relaxes adjacency to ordered proximity ("a b"~slop): a
+    * match is a strictly increasing position chain p_1 < ... < p_n with
+    * p_n - p_1 <= (n-1) + slop, and tf = the number of distinct start
+    * positions with at least one such chain (the minimal completion is
+    * greedy, so existence is exact). slop = 0 degenerates to adjacency.
     *
     * Plan: term-pushed block scan (positions column read ONLY here — BM25
     * paths never project it) → per-shard document-at-a-time positional
@@ -240,10 +425,11 @@ object QueryEngine {
       corpus: CorpusStats,
       phrase: String,
       k: Int,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      slop: Int = 0
   ): DataFrame = {
     import spark.implicits._
-    val lazyMatches = phraseMatches(spark, blocks, phrase, cfg)
+    val lazyMatches = phraseMatches(spark, blocks, phrase, cfg, slop)
       .getOrElse(return emptyScores(spark))
     // two consumers (df count + scoring): persisted, left to LRU eviction
     // like the other one-shot sweep intermediates (TrainingData note)
@@ -298,7 +484,7 @@ object QueryEngine {
       .filter($"term".isin(names: _*))
       .collect().map(t => t.term -> t.idf).toMap
     val live = analyzed.filter { case (t, _) => idfs.contains(t) }
-    if (live.isEmpty) return emptyScores(spark)
+    if (live.isEmpty) { matches.unpersist(); return emptyScores(spark) }
     val qdf = broadcast(live.map { case (t, qtf) => (t, qtf, idfs(t)) }
       .toDF("term", "qtf", "idf"))
     val p = cfg.params
@@ -344,20 +530,22 @@ object QueryEngine {
       spark: SparkSession,
       blocks: Dataset[PostingBlock],
       phrase: String,
-      cfg: IndexBuilder.Config
+      cfg: IndexBuilder.Config,
+      slop: Int = 0
   ): Option[DataFrame] = {
     import spark.implicits._
     val terms = Analyzer.tokenize(phrase, cfg.analyzer) // order + duplicates matter
     if (terms.isEmpty) return None
     val distinctTerms = terms.distinct
     val termsB = spark.sparkContext.broadcast(terms)
+    val slop0 = slop
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     Some(blocks
       .filter($"term".isin(distinctTerms: _*))
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
-      .mapPartitions { it => PhraseScorer.matchPartition(it.buffered, termsB.value) }
+      .mapPartitions { it => PhraseScorer.matchPartition(it.buffered, termsB.value, slop0) }
       .toDF("docId", "tfp", "dl"))
   }
 
@@ -410,36 +598,47 @@ object QueryEngine {
       }
     }
 
-    /** Rows must arrive sorted by (shardId, term, minDocId). */
+    /** Rows must arrive sorted by (shardId, term, minDocId). Shard groups
+      * are consumed LAZILY, one at a time: a high-df phrase holds at most
+      * one shard's match set in memory, never the whole partition's
+      * (the per-shard set is itself bounded by the shard's doc range).
+      */
     def matchPartition(
         it: BufferedIterator[PostingBlock],
-        terms: Seq[String]
+        terms: Seq[String],
+        slop: Int = 0
     ): Iterator[(Long, Int, Int)] = {
       val distinctTerms = terms.distinct
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
-      while (it.hasNext) {
-        val shard = it.head.shardId
-        val byTerm = scala.collection.mutable.HashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
-        while (it.hasNext && it.head.shardId == shard) {
-          val blk = it.next()
-          byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
-        }
-        // docId-sharding co-locates a doc's postings: a match needs every
-        // distinct phrase term present in this shard
-        if (distinctTerms.forall(byTerm.contains)) {
-          val cursors = distinctTerms.map(t =>
-            t -> new PosCursor(byTerm(t).sortBy(_.minDocId).toArray)).toMap
-          out ++= intersectShard(cursors, terms)
-        }
+      new Iterator[(Long, Int, Int)] {
+        private var cur: Iterator[(Long, Int, Int)] = Iterator.empty
+        private def refill(): Unit =
+          while (!cur.hasNext && it.hasNext) {
+            val shard = it.head.shardId
+            val byTerm = scala.collection.mutable.HashMap
+              .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
+            while (it.hasNext && it.head.shardId == shard) {
+              val blk = it.next()
+              byTerm.getOrElseUpdate(blk.term,
+                scala.collection.mutable.ArrayBuffer.empty) += blk
+            }
+            // docId-sharding co-locates a doc's postings: a match needs
+            // every distinct phrase term present in this shard
+            if (distinctTerms.forall(byTerm.contains)) {
+              val cursors = distinctTerms.map(t =>
+                t -> new PosCursor(byTerm(t).sortBy(_.minDocId).toArray)).toMap
+              cur = intersectShard(cursors, terms, slop).iterator
+            }
+          }
+        override def hasNext: Boolean = { refill(); cur.hasNext }
+        override def next(): (Long, Int, Int) = { refill(); cur.next() }
       }
-      out.iterator
     }
 
-    /** Leapfrog docId intersection + consecutive-position count. */
+    /** Leapfrog docId intersection + (slop-windowed) position count. */
     private def intersectShard(
         cursors: Map[String, PosCursor],
-        terms: Seq[String]
+        terms: Seq[String],
+        slop: Int
     ): Seq[(Long, Int, Int)] = {
       val cs = cursors.values.toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
@@ -465,7 +664,7 @@ object QueryEngine {
             j += 1
           }
           if (!done && aligned) {
-            val tfp = phraseCount(terms, cursors)
+            val tfp = phraseCount(terms, cursors, slop)
             if (tfp > 0) out += ((target, tfp, cs(0).curDl))
             var m = 0
             while (m < cs.length && !done) {
@@ -479,18 +678,51 @@ object QueryEngine {
       out.toSeq
     }
 
-    /** # of start positions p with terms(j) at p+j for all j. */
-    private def phraseCount(terms: Seq[String], cursors: Map[String, PosCursor]): Int = {
-      var candidates: Array[Int] = cursors(terms.head).curPositions
-      var j = 1
-      while (j < terms.length && candidates.nonEmpty) {
-        val next = cursors(terms(j)).curPositions // sorted ascending
-        val off = j
-        candidates = candidates.filter(p =>
-          java.util.Arrays.binarySearch(next, p + off) >= 0)
-        j += 1
+    /** # of start positions with a valid occurrence. slop = 0: terms(j)
+      * exactly at p+j. slop > 0: a strictly increasing chain whose total
+      * span is <= (n-1)+slop; the chain is completed GREEDILY (smallest
+      * position of term j strictly after the previous term's) — greedy
+      * minimizes the final position, so a greedy miss proves no chain
+      * exists for that start.
+      */
+    private def phraseCount(terms: Seq[String], cursors: Map[String, PosCursor],
+        slop: Int): Int = {
+      val starts: Array[Int] = cursors(terms.head).curPositions
+      if (terms.length == 1) return starts.length
+      if (slop == 0) {
+        var candidates = starts
+        var j = 1
+        while (j < terms.length && candidates.nonEmpty) {
+          val next = cursors(terms(j)).curPositions // sorted ascending
+          val off = j
+          candidates = candidates.filter(p =>
+            java.util.Arrays.binarySearch(next, p + off) >= 0)
+          j += 1
+        }
+        candidates.length
+      } else {
+        val bound = terms.length - 1 + slop
+        var count = 0
+        var s = 0
+        while (s < starts.length) {
+          val start = starts(s)
+          var prev = start
+          var ok = true
+          var j = 1
+          while (j < terms.length && ok) {
+            val next = cursors(terms(j)).curPositions
+            // smallest position strictly greater than prev
+            val ins = java.util.Arrays.binarySearch(next, prev + 1)
+            val idx = if (ins >= 0) ins else -ins - 1
+            if (idx >= next.length) ok = false
+            else { prev = next(idx); if (prev - start > bound) ok = false }
+            j += 1
+          }
+          if (ok) count += 1
+          s += 1
+        }
+        count
       }
-      candidates.length
     }
   }
 
