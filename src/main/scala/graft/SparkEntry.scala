@@ -35,6 +35,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- caching
   private val relCache = TrieMap.empty[String, IndexBuilder.Relations]
   private val idxCache = TrieMap.empty[String, IndexStore.Index]
+  private val lcIdxCache = TrieMap.empty[String, IndexStore.Index]
 
   private[graft] def transcripts(s: SparkSession, dir: String): DataFrame =
     TranscriptSource.fromDocuments(s, dir)
@@ -63,18 +64,57 @@ object SparkEntry {
         cfg.copy(storePositions = false))
     })
 
+  /** Fixture fingerprint folded into every snapshot id: the id must change
+    * whenever the index CONTENT would — source bytes (size+mtime) or the
+    * engine's format/content versions — or a /tmp index built by an older
+    * engine (or from regenerated fixtures) would be silently served.
+    */
+  private def fixtureFingerprint(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    s"$dir|len${src.length()}|mt${src.lastModified()}" +
+      s"|fv${IndexStore.FormatVersion}|cv${IndexStore.ContentVersion}"
+  }
+
   private[graft] def index(s: SparkSession, dir: String): IndexStore.Index =
     idxCache.getOrElseUpdate(cacheKey(s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = s"${sys.props("java.io.tmpdir")}/graft-index-$safe"
-      // snapshotId must change whenever the index CONTENT would: fold in
-      // the source fixture's fingerprint (size+mtime) and the engine's
-      // format/content versions, or a /tmp index built by an older engine
-      // (or from regenerated fixtures) would be silently served
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val snap = s"$dir|len${src.length()}|mt${src.lastModified()}" +
-        s"|fv${IndexStore.FormatVersion}|cv${IndexStore.ContentVersion}"
-      IndexStore.build(s, turns(s, dir), out, snapshotId = snap, cfg)
+      IndexStore.build(s, turns(s, dir), out, snapshotId = fixtureFingerprint(dir), cfg)
+      IndexStore.load(s, out)
+    })
+
+  /** Conversations below this bound form the lifecycle index's base build;
+    * the rest arrive as an incremental append. Base conv ids sort before
+    * delta conv ids, so the two-stage docId assignment coincides with the
+    * global (conv_id, turn_idx) sort — which lets the DuckDB oracle keep
+    * the one-CTE id derivation.
+    */
+  private val LcSplit = "conv-0080"
+
+  /** The full index lifecycle as a driver-visible artifact:
+    * build(conv < [[LcSplit]]) → appendSnapshot(rest) → deleteDocs(live
+    * docIds ≡ 0 mod 7 — a stand-in for a dedup keep-set complement). Every
+    * step is the crash-safe committed path; the loaded result carries live
+    * tombstones that the `delete_*` / `bm25_deleted_*` entries exercise
+    * end-to-end against survivor-exact oracles.
+    */
+  private[graft] def lifecycleIndex(s: SparkSession, dir: String): IndexStore.Index =
+    lcIdxCache.getOrElseUpdate(cacheKey(s, dir), {
+      val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft-index-lc-$safe"
+      val fp = fixtureFingerprint(dir)
+      // positions are phrase-only; this index serves WAND entries
+      val lcCfg = cfg.copy(storePositions = false)
+      val all = turns(s, dir)
+      // every step is history-idempotent, so a warm /tmp dir from an
+      // earlier run of the SAME engine+fixtures no-ops all three
+      IndexStore.build(s, all.filter(col("conv_id") < LcSplit), out,
+        snapshotId = s"$fp|lc-base", lcCfg)
+      IndexStore.appendSnapshot(s, all.filter(col("conv_id") >= LcSplit), out,
+        snapshotId = s"$fp|lc-delta", lcCfg)
+      val live = IndexStore.load(s, out)
+      val drop = live.docs.toDF().select(col("docId")).filter(col("docId") % 7 === 0)
+      IndexStore.deleteDocs(s, drop, out, snapshotId = s"$fp|lc-del", lcCfg)
       IndexStore.load(s, out)
     })
 
@@ -160,7 +200,7 @@ object SparkEntry {
   private[graft] def bm25Wand(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
-      q, WandFetchK, cfg)
+      q, WandFetchK, cfg, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -172,7 +212,8 @@ object SparkEntry {
     */
   private[graft] def bm25Serving(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
-    val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus, q, k, cfg)
+    val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus, q, k,
+      cfg, idx.tombstoneIds)
     val w = Window.orderBy(col("score").desc, col("docId").asc)
     top.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("docId").as("doc_id"), round(col("score"), 4).as("score"))
@@ -183,7 +224,8 @@ object SparkEntry {
     */
   private[graft] def bm25Phrase(s: SparkSession, dir: String, phrase: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
-    val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase, WandFetchK, cfg)
+    val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase, WandFetchK,
+      cfg, 0, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -192,7 +234,17 @@ object SparkEntry {
       terms: String, phrase: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.phraseFilterRank(s, idx.blocks, idx.termStats,
-      idx.corpus, terms, phrase, WandFetchK, cfg)
+      idx.corpus, terms, phrase, WandFetchK, cfg, idx.tombstoneIds)
+    finish(top, idx.docs, k)
+  }
+
+  /** WAND against the post-delete lifecycle index: the tombstone set is
+    * live here, so skipped docs free heap slots for survivors.
+    */
+  private[graft] def bm25Deleted(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
+    val idx = lifecycleIndex(s, dir)
+    val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
+      q, WandFetchK, cfg, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -200,7 +252,7 @@ object SparkEntry {
   private[graft] def bm25And(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.conjunctiveTopK(s, idx.blocks, idx.termStats,
-      idx.corpus, q, WandFetchK, cfg)
+      idx.corpus, q, WandFetchK, cfg, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -209,7 +261,7 @@ object SparkEntry {
       phrase: String, slop: Int, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase,
-      WandFetchK, cfg, slop)
+      WandFetchK, cfg, slop, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -219,7 +271,7 @@ object SparkEntry {
   private[graft] def bm25Batch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.wandTopKBatch(s, idx.blocks, idx.termStats, idx.corpus,
-      querySet, WandFetchK, cfg)
+      querySet, WandFetchK, cfg, idx.tombstoneIds)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("docId").asc)
     top.withColumn("score", round(col("score"), 4))
       .withColumn("rank", row_number().over(w).cast("int"))
@@ -282,6 +334,15 @@ object SparkEntry {
         index(s, dir).docs.toDF()
           .filter(col("docId") === 123L)
           .select(col("docId").as("doc_id"), col("conv_id"), col("turn_idx"), col("text"))),
+      // ---- delete lifecycle (build → append → delete → query) ----
+      // the surviving doc set after applying the drop set to a LIVE index
+      "delete_apply" -> ((s, dir) =>
+        lifecycleIndex(s, dir).docs.toDF()
+          .select(col("docId").as("doc_id"), col("conv_id"), col("turn_idx"), col("text"))),
+      // stats maintained through the delete must equal the survivors'
+      "delete_term_stats" -> ((s, dir) =>
+        lifecycleIndex(s, dir).termStats.toDF()
+          .select(col("term"), col("df"), round(col("idf"), 6).as("idf"))),
       // spark.sql(...) surface over a registered view — same engine, SQL
       // entry point
       "sql_q1" -> ((s, dir) => {
@@ -307,12 +368,19 @@ object SparkEntry {
     val andQs = andSet.map { case (qid, text) =>
       s"bm25_and_$qid" -> ((s: SparkSession, dir: String) => bm25And(s, dir, text))
     }
+    // WAND over the post-delete lifecycle index: scores must equal a
+    // from-scratch build on the survivors (q6 = head term — tombstone
+    // skips interact with block-max skipping hardest there)
+    val deletedQs = Seq("q1", "q6").map { qid =>
+      s"bm25_deleted_$qid" -> ((s: SparkSession, dir: String) => bm25Deleted(s, dir, queryText(qid)))
+    }
     val slopQ = Map(
       "phrase_slop" -> ((s: SparkSession, dir: String) =>
         bm25PhraseSlop(s, dir, slopQuery._1, slopQuery._2)))
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
-    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ slopQ ++ batchQ
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
+      slopQ ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -360,13 +428,13 @@ object SparkEntry {
        |post AS (SELECT term, doc_id, CAST(count(*) AS INT) AS tf FROM ftoks GROUP BY 1, 2),
        |tstat AS (SELECT term, count(*) AS df FROM post GROUP BY 1)""".stripMargin
 
-  private def bm25OracleSql(queryText: String): String = {
+  private def bm25OracleSql(queryText: String, docsCte: String = cteDocs): String = {
     val qterms = Analyzer.analyzeQuery(queryText, cfg.analyzer)
     val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
     val k1 = cfg.params.k1
     val b = cfg.params.b
     s"""WITH $cteTranscripts,
-       |$cteDocs,
+       |$docsCte,
        |$cteTokens,
        |q(term, qtf) AS (VALUES $values),
        |contrib AS (
@@ -382,6 +450,20 @@ object SparkEntry {
        |FROM scores s JOIN docs d USING (doc_id)
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
+
+  /** Lifecycle (post-delete) docs CTE: the same global id assignment as
+    * [[cteDocs]] (the conv-prefix split keeps two-stage append ids equal to
+    * the global sort), minus the deleted set (docId ≡ 0 mod 7). Bound as
+    * `docs` so every downstream stats/scoring CTE automatically computes
+    * SURVIVOR-exact df/avgdl/N — the oracle for "identical to a
+    * from-scratch build on the surviving corpus".
+    */
+  private def cteLcDocs: String =
+    """docs0 AS (
+      |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+      |         conv_id, turn_idx, text
+      |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\x00-\x20]')),
+      |docs AS (SELECT * FROM docs0 WHERE doc_id % 7 <> 0)""".stripMargin
 
   /** Conjunctive (AND / -term) oracle: candidate docs must contain ALL
     * required analyzed terms (GROUP BY doc HAVING count(distinct term) = n
@@ -628,12 +710,23 @@ object SparkEntry {
     val andQs = andSet.map { case (qid, text) =>
       s"bm25_and_$qid" -> bm25AndOracleSql(text)
     }
+    val deletedQs = Seq("q1", "q6").map { qid =>
+      s"bm25_deleted_$qid" -> bm25OracleSql(queryText(qid), cteLcDocs)
+    }
+    val lifecycleOracles = Map(
+      "delete_apply" ->
+        s"WITH $cteTranscripts,\n$cteLcDocs SELECT doc_id, conv_id, turn_idx, text FROM docs",
+      "delete_term_stats" ->
+        (s"WITH $cteTranscripts,\n$cteLcDocs,\n$cteTokens " +
+          "SELECT t.term, t.df, round(ln((c.n + 1.0) / (t.df + 1.0)), 6) AS idf " +
+          "FROM tstat t CROSS JOIN corpus c"))
     val slopQ = Map(
       "phrase_slop" -> phraseSlopOracleSql(slopQuery._1, slopQuery._2))
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
-    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ slopQ ++ batchOracle
+    base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
+      lifecycleOracles ++ slopQ ++ batchOracle
   }
 }

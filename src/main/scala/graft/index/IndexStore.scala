@@ -52,8 +52,15 @@ object IndexStore {
     * idempotent against ANY replayed snapshot, not just the latest.
     * v6: blocks carry a `positions` column (varint position lists for
     * phrase queries; empty when built without storePositions) and the
-    * manifest records positional-ness. */
-  val FormatVersion = 6
+    * manifest records positional-ness.
+    * v7: deletes — the manifest carries `tombstoneDirs` (docIds dropped
+    * from the live view, honored by every scan and purged at compact),
+    * `nextDocId` (the id-space high-water mark, distinct from the live
+    * docCount once deletes exist, so appended ids never collide with
+    * survivors), and `graceDirs` (dirs superseded by the LAST commit, kept
+    * on disk until the NEXT commit so concurrent readers holding the
+    * previous manifest never hit missing files mid-scan). */
+  val FormatVersion = 7
 
   /** Committed snapshot ids kept in the manifest for append idempotence.
     * A streaming source with a checkpoint replays at most the last
@@ -105,7 +112,16 @@ object IndexStore {
       // committed snapshot ids (oldest first, capped at SnapshotHistoryCap)
       history: Seq[String] = Nil,
       // blocks carry term positions (phrase-query support)
-      positional: Boolean = false
+      positional: Boolean = false,
+      // id-space high-water mark: the next docId an append will assign.
+      // Equal to docCount until the first delete; never decreases.
+      nextDocId: Long = 0L,
+      // dirs of tombstoned (deleted) docIds; scans drop these docs, compact
+      // purges them physically. At most one dir (deletes merge-rewrite it).
+      tombstoneDirs: Seq[String] = Nil,
+      // dirs superseded by THIS manifest's commit, deleted only after the
+      // NEXT commit — the one-generation grace window for live readers
+      graceDirs: Seq[String] = Nil
   )
 
   // ------------------------------------------------------------- manifest IO
@@ -132,8 +148,9 @@ object IndexStore {
     val json =
       s"""{"formatVersion":$FormatVersion,"snapshotId":"${esc(m.snapshotId)}","analyzer":"${esc(m.analyzer)}",
          |"k1":${m.k1},"b":${m.b},"numShards":${m.numShards},"shardSize":${m.shardSize},
-         |"blockSize":${m.blockSize},"docCount":${m.docCount},"avgdl":${m.avgdl},
+         |"blockSize":${m.blockSize},"docCount":${m.docCount},"avgdl":${m.avgdl},"nextDocId":${m.nextDocId},
          |"blockDirs":${strArr(m.blockDirs)},"docDirs":${strArr(m.docDirs)},"termstatsDir":"${esc(m.termstatsDir)}",
+         |"tombstoneDirs":${strArr(m.tombstoneDirs)},"graceDirs":${strArr(m.graceDirs)},
          |"snapshotHistory":${strArr(m.history)},"positional":${m.positional},
          |"shards":$shards,"metrics":$metrics,"complete":${m.complete}}""".stripMargin
     val tmp = Paths.get(dir, "manifest.json.tmp")
@@ -210,7 +227,10 @@ object IndexStore {
       complete = complete,
       history = strArr("snapshotHistory"),
       positional = """"positional":(true|false)""".r
-        .findFirstMatchIn(s).exists(_.group(1) == "true")
+        .findFirstMatchIn(s).exists(_.group(1) == "true"),
+      nextDocId = num("nextDocId").toDouble.toLong,
+      tombstoneDirs = strArr("tombstoneDirs"),
+      graceDirs = strArr("graceDirs")
     ))
   }
 
@@ -231,20 +251,22 @@ object IndexStore {
   private def nextGen(m: Manifest): Int =
     m.metrics.getOrElse("dirGen", 0.0).toInt + 1
 
-  /** Post-commit sweep of orphaned staging dirs: delta-gN, compact-gN and
-    * termstats-gN whose generation is <= the live dirGen but which the
-    * committed manifest does not reference. These are leftovers of an
-    * append/compact that crashed before its commit and whose generation a
-    * LATER successful commit then skipped past — the retry-cleanup only
-    * clears the gen it is about to reuse, so without this sweep they leak
-    * forever over a long append lifecycle. Never touches gen > dirGen
-    * (an in-flight writer's staging under the single-writer contract).
+  /** Post-commit sweep of orphaned staging dirs: delta-gN, compact-gN,
+    * termstats-gN and tombstones-gN whose generation is <= the live dirGen
+    * but which the committed manifest does not reference (as a live dir OR
+    * a grace-window dir). These are leftovers of an append/compact/delete
+    * that crashed before its commit and whose generation a LATER successful
+    * commit then skipped past — the retry-cleanup only clears the gen it is
+    * about to reuse, so without this sweep they leak forever over a long
+    * append lifecycle. Never touches gen > dirGen (an in-flight writer's
+    * staging under the single-writer contract).
     */
   private def sweepOrphans(dir: String, m: Manifest): Unit = {
     val gen = m.metrics.getOrElse("dirGen", 0.0).toInt
-    val live = (m.blockDirs ++ m.docDirs ++ Seq(m.termstatsDir))
+    val live = (m.blockDirs ++ m.docDirs ++ Seq(m.termstatsDir) ++
+        m.tombstoneDirs ++ m.graceDirs)
       .filter(_.nonEmpty).map(_.split('/').head).toSet
-    val staged = """(?:delta|compact|termstats)-g(\d+)""".r
+    val staged = """(?:delta|compact|termstats|tombstones)-g(\d+)""".r
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case staged(g) if g.toInt <= gen && !live.contains(f.getName) =>
@@ -389,7 +411,8 @@ object IndexStore {
       cfg.numShards, shardSize, cfg.blockSize, corpus.docCount,
       corpus.avgdl, done.sortBy(_.shardId), metrics + ("dirGen" -> baseGen),
       blockDirs = blockDirs, docDirs = docDirs, termstatsDir = tsDir,
-      complete, history = Seq(snapshotId), positional = cfg.storePositions)
+      complete, history = Seq(snapshotId), positional = cfg.storePositions,
+      nextDocId = n)
 
     val pending = allShards.filterNot(committed.contains)
     pending.grouped(math.max(1, commitBatchShards)).foreach { batch =>
@@ -446,7 +469,8 @@ object IndexStore {
     if (committed.isEmpty) existing.foreach { old =>
       val keep = (m.blockDirs ++ m.docDirs ++ Seq(m.termstatsDir))
         .filter(_.nonEmpty).map(_.split('/').head).toSet
-      (old.blockDirs ++ old.docDirs ++ Seq(old.termstatsDir))
+      (old.blockDirs ++ old.docDirs ++ Seq(old.termstatsDir) ++
+          old.tombstoneDirs ++ old.graceDirs)
         .filter(_.nonEmpty).map(_.split('/').head).distinct
         .filterNot(keep.contains)
         .foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(
@@ -502,8 +526,10 @@ object IndexStore {
     require(base.positional == cfg.storePositions,
       s"positional mismatch: index=${base.positional} cfg=${cfg.storePositions} " +
         "(a mixed positional/non-positional index would silently break phrase queries)")
-    // appending onto an EMPTY base (degenerate corpus) is just a build
-    if (base.docCount == 0)
+    // appending onto an EMPTY base (degenerate corpus) is just a build —
+    // guarded on the id-space watermark, not docCount: a fully-deleted
+    // index still owns its id space and must not reset it
+    if (base.nextDocId == 0)
       return build(spark, newTurns, dir, snapshotId, cfg)
 
     // staging names use a MONOTONIC generation (shared with compact), never
@@ -522,7 +548,7 @@ object IndexStore {
     // shuffle ONCE, uncached, and all stats derive from the ~100x-smaller
     // encoded blocks — the same bandwidth-conscious shape as build()
     val p0 = IndexBuilder.prepare(spark, newTurns, s"$dir/$deltaDocsDir", cfg,
-      idOffset = base.docCount, fixedShardSize = Some(base.shardSize))
+      idOffset = base.nextDocId, fixedShardSize = Some(base.shardSize))
     if (p0.n == 0) { // nothing indexable in this snapshot: no-op
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/delta-g$gen"))
       return BuildResult(base, dir)
@@ -589,12 +615,16 @@ object IndexStore {
           b0.map(_.checksum).getOrElse(0L) + d.map(_.checksum).getOrElse(0L))
       }
     val perShard = mergedLineage.map(_.postings.toDouble)
+    val droppedHistory = (base.history.size + 1 - SnapshotHistoryCap).max(0)
     val m = Manifest(snapshotId, cfg.analyzer.fingerprint, cfg.params.k1,
       cfg.params.b, base.numShards, base.shardSize, cfg.blockSize,
       nNew, avgdlNew, mergedLineage,
       base.metrics ++ Map(
         "appendedTurns" -> p0.n.toDouble,
         "dirGen" -> gen.toDouble,
+        // ids silently dropped from the idempotence history (see below)
+        "historyDropped" ->
+          (base.metrics.getOrElse("historyDropped", 0.0) + droppedHistory),
         "skewRatio" -> (if (perShard.isEmpty) 1.0
           else perShard.max / (perShard.sum / perShard.size))),
       blockDirs = if (hasBlocks) base.blockDirs :+ deltaBlocksDir else base.blockDirs,
@@ -602,16 +632,172 @@ object IndexStore {
       termstatsDir = tsDirFinal,
       complete = true,
       history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
-      positional = base.positional)
+      positional = base.positional,
+      nextDocId = base.nextDocId + p0.n,
+      tombstoneDirs = base.tombstoneDirs,
+      // superseded term-stats enter the grace window (deleted after the
+      // NEXT commit), so a reader on the previous manifest keeps working
+      graceDirs = Seq(base.termstatsDir).filter(d =>
+        d.nonEmpty && d != tsDirFinal))
     if (failBeforeCommit)
       throw new RuntimeException("injected failure before append commit")
+    // the history cap silently forgets old snapshot ids: a checkpoint-less
+    // restart replaying one of them would duplicate data with no error.
+    // Surface it loudly (metric above + warning) instead of silently.
+    if (droppedHistory > 0)
+      System.err.println(s"[graft] WARNING: snapshot history at $dir truncated " +
+        s"(cap $SnapshotHistoryCap); replays of dropped ids are no longer idempotent")
     writeManifest(dir, m) // THE commit point
-    // post-commit cleanup: the superseded term-stats dir is unreferenced
-    if (base.termstatsDir.nonEmpty)
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$dir/${base.termstatsDir}"))
+    // post-commit cleanup: dirs whose grace window ENDED with this commit
+    base.graceDirs.filterNot(d => m.graceDirs.contains(d)).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d")))
     sweepOrphans(dir, m)
     blocks.unpersist()
+    BuildResult(m, dir)
+  }
+
+  // ---------------------------------------------------------------- delete
+
+  /** Max tombstoned docIds a loaded index will collect/broadcast to the
+    * scorers (8 B/id → ~80 MB at the cap). An index carrying more deletes
+    * than this between compactions refuses to load with a compact-first
+    * message rather than silently stressing the driver; a production
+    * extension would swap the sorted array for per-shard roaring bitmaps,
+    * with the same manifest contract.
+    */
+  val TombstoneCap = 10000000L
+
+  /** Delete documents from a live index — the missing half of incremental:
+    * a training-data pipeline dedups and redacts continuously (e.g. the
+    * complement of a dedup keep-set), and must not rebuild to do it.
+    *
+    * Tombstone semantics (Lucene-style deletes, but with EXACT stats):
+    * the posting blocks are untouched; the dropped docIds land in a
+    * tombstone file every scan honors (WAND / conjunctive / phrase scorers
+    * skip them before any heap or df accounting; the docs view filters
+    * them), and `compact` purges them physically. Unlike Lucene, corpus
+    * and term stats are recomputed EXACTLY at delete time — the dropped
+    * set is small relative to the corpus, so re-analyzing just those docs
+    * (one bounded job, never a corpus pass) buys scores identical to a
+    * from-scratch build on the surviving corpus:
+    *   N' = N - |dropped|;  avgdl' from the exact token totals;
+    *   df'(t) = df(t) - |dropped docs containing t|, idf over N'.
+    *
+    * Repeated deletes merge-rewrite the (single) tombstone file; docIds
+    * already tombstoned are ignored (never double-subtracted). The commit
+    * is the usual staged-dirs + atomic manifest rewrite; superseded dirs
+    * enter the one-commit grace window. Appends compose: the id space is
+    * tracked by `nextDocId`, which deletes never lower.
+    *
+    * Reference analogue: the keep-one semantics of dropDuplicates
+    * (/root/reference/data_processing/semantic_index/
+    * create_lookup_table.py:34) applied to a LIVE index — the reference
+    * itself could only rebuild from scratch (build_index.py:15 re-globs
+    * everything).
+    *
+    * @param dropIds single-column (docId) DataFrame of documents to drop
+    */
+  def deleteDocs(
+      spark: SparkSession,
+      dropIds: DataFrame,
+      dir: String,
+      snapshotId: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      failBeforeCommit: Boolean = false
+  ): BuildResult = {
+    import spark.implicits._
+    val base = readManifest(dir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
+    require(base.complete, s"base index at $dir is incomplete")
+    if (base.snapshotId == snapshotId || base.history.contains(snapshotId))
+      return BuildResult(base, dir) // idempotent retry
+    require(base.analyzer == cfg.analyzer.fingerprint,
+      s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint} " +
+        "(stats maintenance re-analyzes the dropped docs and must tokenize " +
+        "exactly like the index)")
+    val idx = load(spark, dir)
+
+    // effective drop set: requested ∩ live docs (already-tombstoned or
+    // never-assigned ids must not perturb the stats), consumed by the
+    // stats job AND the tombstone write
+    val dropped = idx.docs.toDF()
+      .join(dropIds.select($"docId".cast("long").as("docId")).distinct(),
+        Seq("docId"), "left_semi")
+      .persist()
+    val nDrop = dropped.count()
+    if (nDrop == 0) { dropped.unpersist(); return BuildResult(base, dir) }
+
+    // exact removed stats from ONE pass over the dropped docs only
+    val removedTerms = dropped
+      .select($"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
+      .select($"docId", size($"toks").as("dl"),
+        explode_outer(array_distinct($"toks")).as("term"))
+      .persist()
+    val removedTokens = removedTerms
+      .groupBy($"docId").agg(first($"dl").as("dl"))
+      .agg(sum($"dl".cast("long"))).as[Option[Long]].first().getOrElse(0L)
+    val removedDf = removedTerms.filter($"term".isNotNull)
+      .groupBy($"term").agg(count(lit(1)).as("rdf"))
+
+    val nNew = base.docCount - nDrop
+    val liveTokens = math.round(base.avgdl * base.docCount) - removedTokens
+    val avgdlNew = if (nNew == 0) 0.0 else liveTokens.toDouble / nNew
+
+    val gen = nextGen(base)
+    val tsDir = s"termstats-g$gen"
+    val tombDir = s"tombstones-g$gen"
+    Seq(s"$dir/$tsDir", s"$dir/$tombDir").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+    // merged tombstones: previous set ∪ new drops, ONE dir (the set is
+    // small between compactions; TombstoneCap bounds the reader contract)
+    val prevTombs: DataFrame =
+      if (base.tombstoneDirs.isEmpty) spark.emptyDataset[Long].toDF("docId")
+      else base.tombstoneDirs.map(d => spark.read.parquet(s"$dir/$d"))
+        .reduce(_.unionByName(_))
+    val nTombs = prevTombs.count() + nDrop
+    require(nTombs <= TombstoneCap,
+      s"$nTombs tombstones exceed TombstoneCap=$TombstoneCap — compact the index first")
+    prevTombs.unionByName(dropped.select($"docId"))
+      .coalesce(1).sort($"docId")
+      .write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tombDir")
+
+    // surviving term stats: df decremented, vanished terms dropped, idf
+    // over the surviving N. Degenerate guard as everywhere: never write or
+    // reference a zero-row parquet dir.
+    val survivingTs = idx.termStats.toDF()
+      .join(removedDf, Seq("term"), "left")
+      .select($"term", ($"df" - coalesce($"rdf", lit(0L))).as("df"))
+      .filter($"df" > 0)
+      .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
+      .persist()
+    val hasTs = survivingTs.limit(1).count() > 0
+    val tsDirFinal = if (hasTs) tsDir else ""
+    if (hasTs)
+      survivingTs.write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tsDir")
+
+    val m = base.copy(
+      snapshotId = snapshotId,
+      docCount = nNew,
+      avgdl = avgdlNew,
+      termstatsDir = tsDirFinal,
+      tombstoneDirs = Seq(tombDir),
+      metrics = base.metrics ++ Map(
+        "dirGen" -> gen.toDouble,
+        "tombstones" -> nTombs.toDouble,
+        "deletedTurns" -> nDrop.toDouble),
+      history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
+      graceDirs = (base.tombstoneDirs :+ base.termstatsDir)
+        .filter(d => d.nonEmpty && d != tsDirFinal))
+    if (failBeforeCommit)
+      throw new RuntimeException("injected failure before delete commit")
+    writeManifest(dir, m) // THE commit point
+    base.graceDirs.filterNot(d => m.graceDirs.contains(d)).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d")))
+    sweepOrphans(dir, m)
+    removedTerms.unpersist()
+    survivingTs.unpersist()
+    dropped.unpersist()
     BuildResult(m, dir)
   }
 
@@ -619,16 +805,23 @@ object IndexStore {
 
   /** Compact a multi-dir index (base + appended deltas) back into ONE
     * block dir + ONE docs dir — the Lucene-merge/Iceberg-compaction step
-    * that completes the incremental lifecycle (build → append* → compact).
+    * that completes the incremental lifecycle (build → append* → delete*
+    * → compact).
     *
     * Postings are recovered by DECODING the existing blocks (never a
-    * corpus re-tokenize), re-exchanged on (shardId, term) and re-encoded
-    * with the same deterministic encoder as the build, so a (shard, term)
-    * list that was split across base + delta block runs becomes one
-    * contiguous run again. Corpus stats, term stats and docIds are already
-    * merged-exact and unchanged. Staged dirs + one atomic manifest rewrite,
-    * crash-safe exactly like appendSnapshot; superseded dirs are removed
-    * only after the commit.
+    * corpus re-tokenize), tombstoned docs dropped, re-exchanged on
+    * (shardId, term) and re-encoded with the same deterministic encoder as
+    * the build, so a (shard, term) list that was split across base + delta
+    * block runs becomes one contiguous run again and deleted docs vanish
+    * physically (tombstoneDirs empties — stats were already exact from
+    * delete time). Staged dirs + one atomic manifest rewrite, crash-safe
+    * exactly like appendSnapshot.
+    *
+    * Readers: superseded dirs are NOT removed at commit — they enter the
+    * manifest's grace window and are deleted only after the NEXT commit,
+    * so a serving session holding the pre-compaction manifest (e.g. a
+    * cached `load` handle) keeps answering queries across the compaction;
+    * it re-loads at its own pace. Single-writer contract as everywhere.
     */
   def compact(
       spark: SparkSession,
@@ -640,7 +833,8 @@ object IndexStore {
     val m = readManifest(dir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
     require(m.complete, s"index at $dir is incomplete")
-    if (m.blockDirs.size <= 1 && m.docDirs.size <= 1) return BuildResult(m, dir)
+    if (m.blockDirs.size <= 1 && m.docDirs.size <= 1 && m.tombstoneDirs.isEmpty)
+      return BuildResult(m, dir)
     val idx = load(spark, dir)
     // monotonic generation (shared counter with appendSnapshot) => staging
     // names never collide with live dirs
@@ -651,7 +845,7 @@ object IndexStore {
 
     // positional indexes carry per-posting position lists through the
     // re-block (block boundaries move; the lists themselves are unchanged)
-    val postings: DataFrame =
+    val rawPostings: DataFrame =
       if (m.positional)
         idx.blocks.flatMap { b =>
           val ps = graft.index.Codec.decode(b.payload, b.n)
@@ -666,6 +860,11 @@ object IndexStore {
             explode(graft.plans.DecodeBlock($"payload", $"n")).as("p"))
           .select($"shardId", $"term", $"p.docId".as("docId"),
             $"p.tf".as("tf"), $"p.dl".as("dl"))
+    // physical purge: tombstoned docs leave the posting stream here (the
+    // tiny tombstone relation broadcasts into an anti join)
+    val postings: DataFrame =
+      if (m.tombstoneDirs.isEmpty) rawPostings
+      else rawPostings.join(broadcast(idx.tombstones), Seq("docId"), "left_anti")
     // re-encode with the MANIFEST's block size — the manifest is the truth
     // about the on-disk layout, whatever cfg the caller passed
     val blocks = IndexBuilder.encodePostings(spark, postings,
@@ -687,22 +886,30 @@ object IndexStore {
         .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"shardId")
         .sortWithinPartitions($"shardId", $"term", $"minDocId")
         .write.mode("overwrite").option("compression", IndexCodec).partitionBy("shardId").parquet(s"$dir/$stageBlocks")
-    idx.docs.toDF().write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$stageDocs")
+    // idx.docs is the LIVE view, so compaction purges tombstoned docs
+    // physically here too; a fully-deleted index would be a zero-row write
+    // (unreadable parquet dir) — reference no docs dir at all instead
+    if (m.docCount > 0)
+      idx.docs.toDF().write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$stageDocs")
 
     val m2 = m.copy(
       shards = lineage,
       blockDirs = if (lineage.nonEmpty) Seq(stageBlocks) else Seq.empty,
-      docDirs = Seq(stageDocs),
-      metrics = m.metrics ++ Map(
+      docDirs = if (m.docCount > 0) Seq(stageDocs) else Seq.empty,
+      tombstoneDirs = Nil, // purged physically above
+      metrics = (m.metrics - "tombstones") ++ Map(
         "dirGen" -> gen.toDouble,
-        "compactedDirs" -> m.blockDirs.size.toDouble))
+        "compactedDirs" -> m.blockDirs.size.toDouble),
+      // superseded dirs survive until the NEXT commit (reader grace window)
+      graceDirs = (m.blockDirs ++ m.docDirs ++ m.tombstoneDirs)
+        .map(_.split('/').head).distinct)
     if (failBeforeCommit)
       throw new RuntimeException("injected failure before compact commit")
     writeManifest(dir, m2) // THE commit point
     blocks.unpersist()
-    // post-commit cleanup of the superseded dirs (best-effort; a retry of
-    // any later append/compact clears its own staging first)
-    (m.blockDirs ++ m.docDirs).foreach { d =>
+    // post-commit cleanup: only dirs whose grace window ENDED with this
+    // commit (the previous commit's superseded dirs)
+    m.graceDirs.filterNot(d => m2.graceDirs.contains(d)).foreach { d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d"))
     }
     sweepOrphans(dir, m2)
@@ -715,8 +922,12 @@ object IndexStore {
       dir: String,
       manifest: Manifest,
       blocks: Dataset[PostingBlock],
-      docs: Dataset[Doc],
-      termStats: Dataset[TermStat]
+      docs: Dataset[Doc], // the LIVE view: tombstoned docs filtered out
+      termStats: Dataset[TermStat],
+      tombstones: DataFrame, // (docId) — empty when the index has no deletes
+      // the same ids as a sorted array for the block scorers (collected at
+      // load; size bounded by TombstoneCap — deleteDocs enforces it)
+      tombstoneIds: Array[Long]
   ) {
     def corpus: CorpusStats = CorpusStats(manifest.docCount, manifest.avgdl)
   }
@@ -740,13 +951,26 @@ object IndexStore {
             $"minDocId", $"maxDocId", $"n", $"maxTf", $"minDl", $"sumTf",
             $"payload", $"positions")
       }.reduce(_.unionByName(_)).as[PostingBlock]
-    val docs =
+    val rawDocs =
       if (m.docDirs.isEmpty) spark.emptyDataset[Doc]
       else m.docDirs.map(d => spark.read.parquet(s"$dir/$d"))
         .reduce(_.unionByName(_)).as[Doc]
+    val tombstones: DataFrame =
+      if (m.tombstoneDirs.isEmpty) spark.emptyDataset[Long].toDF("docId")
+      else m.tombstoneDirs.map(d => spark.read.parquet(s"$dir/$d"))
+        .reduce(_.unionByName(_))
+    val tombstoneIds: Array[Long] =
+      if (m.tombstoneDirs.isEmpty) Array.emptyLongArray
+      else tombstones.orderBy($"docId").as[Long].collect()
+    // the live docs view: deletes are invisible to every consumer (the
+    // tiny tombstone relation broadcasts into the anti join)
+    val docs =
+      if (tombstoneIds.isEmpty) rawDocs
+      else rawDocs.toDF()
+        .join(broadcast(tombstones), Seq("docId"), "left_anti").as[Doc]
     val termStats =
       if (m.termstatsDir.isEmpty) spark.emptyDataset[TermStat]
       else spark.read.parquet(s"$dir/${m.termstatsDir}").as[TermStat]
-    Index(dir, m, blocks, docs, termStats)
+    Index(dir, m, blocks, docs, termStats, tombstones, tombstoneIds)
   }
 }

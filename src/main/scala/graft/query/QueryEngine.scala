@@ -124,7 +124,8 @@ object QueryEngine {
       corpus: CorpusStats,
       query: String,
       k: Int,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: Array[Long] = Array.emptyLongArray
   ): DataFrame = {
     import spark.implicits._
     val analyzed = Analyzer.analyzeQuery(query, cfg.analyzer)
@@ -143,6 +144,7 @@ object QueryEngine {
     val avgdl = corpus.avgdl
     val kk = k
     val qtsB = spark.sparkContext.broadcast(qts.sortBy(_.term))
+    val tsB = spark.sparkContext.broadcast(tombstones)
 
     // one task per core, several shards per task (scorePartition iterates
     // shard groups); range partitioning keeps a shard's blocks together
@@ -153,7 +155,8 @@ object QueryEngine {
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
-        WandScorer.scorePartition(it.buffered, qtsB.value, kk, p.k1, p.b, avgdl)
+        WandScorer.scorePartition(it.buffered, qtsB.value, kk, p.k1, p.b, avgdl,
+          tsB.value)
       }
       .toDF("docId", "score")
 
@@ -177,7 +180,8 @@ object QueryEngine {
       corpus: CorpusStats,
       queries: Seq[(String, String)],
       k: Int,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: Array[Long] = Array.emptyLongArray
   ): DataFrame = {
     import spark.implicits._
     def empty: DataFrame =
@@ -201,6 +205,7 @@ object QueryEngine {
     val avgdl = corpus.avgdl
     val kk = k
     val qB = spark.sparkContext.broadcast(perQuery)
+    val tsB = spark.sparkContext.broadcast(tombstones)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     val candidates = scoringBlocks(blocks)
@@ -208,7 +213,8 @@ object QueryEngine {
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
-        WandScorer.scorePartitionBatch(it.buffered, qB.value, kk, p.k1, p.b, avgdl)
+        WandScorer.scorePartitionBatch(it.buffered, qB.value, kk, p.k1, p.b, avgdl,
+          tsB.value)
       }
       .toDF("qid", "docId", "score")
     val w = org.apache.spark.sql.expressions.Window
@@ -253,7 +259,8 @@ object QueryEngine {
       corpus: CorpusStats,
       query: String,
       k: Int,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: Array[Long] = Array.emptyLongArray
   ): DataFrame = {
     import spark.implicits._
     val (posText, negRaw) = parseBoolean(query)
@@ -278,6 +285,7 @@ object QueryEngine {
     val kk = k
     val qtsB = spark.sparkContext.broadcast(qts)
     val exclB = spark.sparkContext.broadcast(excl)
+    val tsB = spark.sparkContext.broadcast(tombstones)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     scoringBlocks(blocks)
@@ -286,7 +294,7 @@ object QueryEngine {
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         ConjunctiveScorer.scorePartition(it.buffered, qtsB.value, exclB.value,
-          kk, p.k1, p.b, avgdl)
+          kk, p.k1, p.b, avgdl, tsB.value)
       }
       .toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
@@ -303,7 +311,8 @@ object QueryEngine {
         qts: Seq[QTerm],
         excluded: Seq[String],
         k: Int,
-        k1: Double, b: Double, avgdl: Double
+        k1: Double, b: Double, avgdl: Double,
+        tombstones: Array[Long] = Array.emptyLongArray
     ): Iterator[(Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       while (it.hasNext) {
@@ -323,7 +332,7 @@ object QueryEngine {
             byTerm(q.term).sortBy(_.minDocId).toArray, k1, b, avgdl)).toArray
           val not = excluded.flatMap(t => byTerm.get(t).map(bs =>
             new Cursor(t, 0.0, bs.sortBy(_.minDocId).toArray, k1, b, avgdl))).toArray
-          out ++= intersectShard(req, not, k)
+          out ++= intersectShard(req, not, k, tombstones)
         }
       }
       out.iterator
@@ -333,7 +342,7 @@ object QueryEngine {
       * global tie-break (score desc, docId asc).
       */
     private def intersectShard(req: Array[Cursor], not: Array[Cursor],
-        k: Int): Seq[(Long, Double)] = {
+        k: Int, tombstones: Array[Long]): Seq[(Long, Double)] = {
       implicit val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
         def compare(a: (Long, Double), b: (Long, Double)): Int = {
           val c = java.lang.Double.compare(b._2, a._2) // smaller score first
@@ -362,7 +371,8 @@ object QueryEngine {
             j += 1
           }
           if (!done && aligned) {
-            var dropped = false
+            var dropped = tombstones.length > 0 &&
+              java.util.Arrays.binarySearch(tombstones, target) >= 0
             var x = 0
             while (x < not.length && !dropped) {
               if (!not(x).exhausted) {
@@ -426,10 +436,11 @@ object QueryEngine {
       phrase: String,
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      slop: Int = 0
+      slop: Int = 0,
+      tombstones: Array[Long] = Array.emptyLongArray
   ): DataFrame = {
     import spark.implicits._
-    val lazyMatches = phraseMatches(spark, blocks, phrase, cfg, slop)
+    val lazyMatches = phraseMatches(spark, blocks, phrase, cfg, slop, tombstones)
       .getOrElse(return emptyScores(spark))
     // two consumers (df count + scoring): persisted, left to LRU eviction
     // like the other one-shot sweep intermediates (TrainingData note)
@@ -470,11 +481,14 @@ object QueryEngine {
       freeTerms: String,
       phrase: String,
       k: Int,
-      cfg: IndexBuilder.Config = IndexBuilder.Config()
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: Array[Long] = Array.emptyLongArray
   ): DataFrame = {
     import spark.implicits._
     // persisted: consumed by the size probe below AND the semi-join
-    val matches = phraseMatches(spark, blocks, phrase, cfg)
+    // (tombstoned docs already dropped inside the positional matcher, so
+    // the survivor semi-join prunes them from the term postings too)
+    val matches = phraseMatches(spark, blocks, phrase, cfg, 0, tombstones)
       .getOrElse(return emptyScores(spark)).persist()
     val nMatches = matches.count()
     if (nMatches == 0) { matches.unpersist(); return emptyScores(spark) }
@@ -531,13 +545,15 @@ object QueryEngine {
       blocks: Dataset[PostingBlock],
       phrase: String,
       cfg: IndexBuilder.Config,
-      slop: Int = 0
+      slop: Int = 0,
+      tombstones: Array[Long] = Array.emptyLongArray
   ): Option[DataFrame] = {
     import spark.implicits._
     val terms = Analyzer.tokenize(phrase, cfg.analyzer) // order + duplicates matter
     if (terms.isEmpty) return None
     val distinctTerms = terms.distinct
     val termsB = spark.sparkContext.broadcast(terms)
+    val tsB = spark.sparkContext.broadcast(tombstones)
     val slop0 = slop
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
@@ -545,7 +561,9 @@ object QueryEngine {
       .filter($"term".isin(distinctTerms: _*))
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
-      .mapPartitions { it => PhraseScorer.matchPartition(it.buffered, termsB.value, slop0) }
+      .mapPartitions { it =>
+        PhraseScorer.matchPartition(it.buffered, termsB.value, slop0, tsB.value)
+      }
       .toDF("docId", "tfp", "dl"))
   }
 
@@ -606,7 +624,8 @@ object QueryEngine {
     def matchPartition(
         it: BufferedIterator[PostingBlock],
         terms: Seq[String],
-        slop: Int = 0
+        slop: Int = 0,
+        tombstones: Array[Long] = Array.emptyLongArray
     ): Iterator[(Long, Int, Int)] = {
       val distinctTerms = terms.distinct
       new Iterator[(Long, Int, Int)] {
@@ -626,7 +645,7 @@ object QueryEngine {
             if (distinctTerms.forall(byTerm.contains)) {
               val cursors = distinctTerms.map(t =>
                 t -> new PosCursor(byTerm(t).sortBy(_.minDocId).toArray)).toMap
-              cur = intersectShard(cursors, terms, slop).iterator
+              cur = intersectShard(cursors, terms, slop, tombstones).iterator
             }
           }
         override def hasNext: Boolean = { refill(); cur.hasNext }
@@ -638,7 +657,8 @@ object QueryEngine {
     private def intersectShard(
         cursors: Map[String, PosCursor],
         terms: Seq[String],
-        slop: Int
+        slop: Int,
+        tombstones: Array[Long] = Array.emptyLongArray
     ): Seq[(Long, Int, Int)] = {
       val cs = cursors.values.toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
@@ -664,7 +684,10 @@ object QueryEngine {
             j += 1
           }
           if (!done && aligned) {
-            val tfp = phraseCount(terms, cursors, slop)
+            // tombstoned docs never match (they'd distort the phrase df)
+            val dead = tombstones.length > 0 &&
+              java.util.Arrays.binarySearch(tombstones, target) >= 0
+            val tfp = if (dead) 0 else phraseCount(terms, cursors, slop)
             if (tfp > 0) out += ((target, tfp, cs(0).curDl))
             var m = 0
             while (m < cs.length && !done) {
@@ -793,9 +816,10 @@ object QueryEngine {
         it: BufferedIterator[PostingBlock],
         qts: Seq[QTerm],
         k: Int,
-        k1: Double, b: Double, avgdl: Double
+        k1: Double, b: Double, avgdl: Double,
+        tombstones: Array[Long] = Array.emptyLongArray
     ): Iterator[(Long, Double)] =
-      scorePartitionBatch(it, Seq("" -> qts), k, k1, b, avgdl)
+      scorePartitionBatch(it, Seq("" -> qts), k, k1, b, avgdl, tombstones)
         .map { case (_, d, s) => (d, s) }
 
     /** Batch variant: every query scored against each shard group while
@@ -806,7 +830,8 @@ object QueryEngine {
         it: BufferedIterator[PostingBlock],
         queries: Seq[(String, Seq[QTerm])],
         k: Int,
-        k1: Double, b: Double, avgdl: Double
+        k1: Double, b: Double, avgdl: Double,
+        tombstones: Array[Long] = Array.emptyLongArray
     ): Iterator[(String, Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
       while (it.hasNext) {
@@ -831,7 +856,8 @@ object QueryEngine {
             }
           }
           if (cursors.nonEmpty)
-            out ++= wandShard(cursors.toArray, k).map { case (d, s) => (qid, d, s) }
+            out ++= wandShard(cursors.toArray, k, tombstones)
+              .map { case (d, s) => (qid, d, s) }
         }
       }
       out.iterator
@@ -845,7 +871,8 @@ object QueryEngine {
       * (score desc, docId asc): within a shard docIds only grow, so a
       * candidate whose upper bound is <= θ can never displace a heap entry.
       */
-    private def wandShard(cursors: Array[Cursor], k: Int): Seq[(Long, Double)] = {
+    private def wandShard(cursors: Array[Cursor], k: Int,
+        tombstones: Array[Long] = Array.emptyLongArray): Seq[(Long, Double)] = {
       // min-heap of (score, docId) under ordering: worse = smaller score,
       // or equal score with larger docId
       implicit val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
@@ -882,11 +909,15 @@ object QueryEngine {
           while (pivotIdx + 1 < sorted.length && sorted(pivotIdx + 1).curDoc == pivotDoc)
             pivotIdx += 1
           if (sorted.head.curDoc == pivotDoc) {
+            // tombstoned (deleted) docs are skipped exactly like a failed
+            // block-max bound: never scored, never a heap slot
+            val dead = tombstones.length > 0 &&
+              java.util.Arrays.binarySearch(tombstones, pivotDoc) >= 0
             // block-max refinement: tighten with current-block ubs
             var blockAcc = 0.0
             var j = 0
             while (j <= pivotIdx) { blockAcc += sorted(j).curBlockUb; j += 1 }
-            if (blockAcc > theta) {
+            if (!dead && blockAcc > theta) {
               // score pivotDoc exactly, ascending term order (cursors were
               // built term-sorted; sortBy on curDoc is stable, but re-sort
               // the matching set by term to pin summation order)

@@ -82,14 +82,15 @@ object EventStream {
     *        single-dir baseline, and its one-off cost (~6.6s at 800k
     *        turns) amortizes over the queries served between compactions.
     *        4 dirs caps the degradation near +30%.
-    *        READER CONTRACT: a compaction commit deletes the superseded
-    *        block/doc dirs, so a serving session holding a pre-compaction
-    *        `IndexStore.load` handle can hit missing files on its next
-    *        scan — serving sessions should re-load the index per batch of
-    *        queries (the manifest read is one small file), or the ingest
-    *        should pin compactAfterDeltas = 0 and compact in maintenance
-    *        windows. A refcounted grace period is the multi-reader
-    *        production extension; out of scope here.
+    *        Readers are safe across the compaction: the superseded
+    *        block/doc dirs enter the manifest's one-commit grace window
+    *        (deleted only after the NEXT commit — here, after the next
+    *        appended batch), so a serving session holding the
+    *        pre-compaction `IndexStore.load` handle keeps answering
+    *        queries and re-loads at its own pace; it only needs to
+    *        re-load at least once per commit, which an ingest cadence of
+    *        minutes makes trivial (IncrementalSpec holds a handle across
+    *        a live compaction to pin this).
     * @param checkpointDir Structured Streaming checkpoint location —
     *        REQUIRED, because the sink's idempotence is keyed by batchId:
     *        under a checkpoint, Spark's replay contract guarantees a
