@@ -40,10 +40,8 @@ object SparkEntry {
   private[graft] def transcripts(s: SparkSession, dir: String): DataFrame =
     TranscriptSource.fromDocuments(s, dir)
 
-  private[graft] def turns(s: SparkSession, dir: String): Dataset[Turn] = {
-    import s.implicits._
-    transcripts(s, dir).as[Turn]
-  }
+  private[graft] def turns(s: SparkSession, dir: String): Dataset[Turn] =
+    new graft.sources.ParquetTranscriptCatalog(dir).read(s)
 
   /** Cache key tied to the live SparkContext (applicationId is unique per
     * context even across restarts in one JVM), so a restarted session can
@@ -69,11 +67,9 @@ object SparkEntry {
     * engine's format/content versions — or a /tmp index built by an older
     * engine (or from regenerated fixtures) would be silently served.
     */
-  private def fixtureFingerprint(dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    s"$dir|len${src.length()}|mt${src.lastModified()}" +
+  private def fixtureFingerprint(dir: String): String =
+    new graft.sources.ParquetTranscriptCatalog(dir).currentSnapshotId +
       s"|fv${IndexStore.FormatVersion}|cv${IndexStore.ContentVersion}"
-  }
 
   private[graft] def index(s: SparkSession, dir: String): IndexStore.Index =
     idxCache.getOrElseUpdate(cacheKey(s, dir), {

@@ -19,28 +19,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  /** (name, usage, builder) — the single source for both entry points. */
-  private[plans] val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  /** (name, usage, implClass, builder) — the single source for both entry
+    * points. The per-function expression class feeds ExpressionInfo so
+    * DESCRIBE FUNCTION reports the actual implementing class, not the
+    * package.
+    */
+  private[plans] val all: Seq[(String, String, String, Seq[Expression] => Expression)] = Seq(
     ("term_freqs", "term_freqs(array<string>) - per-document token counts as map<string,int>",
-      exprs => TermFreqs(exprs.head)),
+      classOf[TermFreqs].getName, exprs => TermFreqs(exprs.head)),
     ("term_positions", "term_positions(array<string>) - 1-based token positions as map<string,array<int>>",
-      exprs => TermPositions(exprs.head)),
+      classOf[TermPositions].getName, exprs => TermPositions(exprs.head)),
     ("decode_block", "decode_block(payload, n) - decode a varint posting block to array<struct<docId,tf,dl>>",
-      exprs => DecodeBlock(exprs(0), exprs(1))),
+      classOf[DecodeBlock].getName, exprs => DecodeBlock(exprs(0), exprs(1))),
     ("lower_root", "lower_root(string) - Locale.ROOT lowercase (JVM-default-locale-proof)",
-      exprs => LowerRoot(exprs.head)),
+      classOf[LowerRoot].getName, exprs => LowerRoot(exprs.head)),
     ("filter_stopwords_en", "filter_stopwords_en(array<string>) - drop Spark ML English stopwords",
-      exprs => FilterStopwords(exprs.head,
+      classOf[FilterStopwords].getName, exprs => FilterStopwords(exprs.head,
         graft.functions.Analyzer.englishStopwords.toSeq.sorted)),
     ("analyze_text", "analyze_text(string) - the full analyzer (ROOT lowercase + unicode word-break + English stopword filter), fused single pass",
-      exprs => AnalyzeText(exprs.head,
+      classOf[AnalyzeText].getName, exprs => AnalyzeText(exprs.head,
         graft.functions.Analyzer.englishStopwords.toSeq.sorted))
   )
 
   // ExpressionInfo's 3-arg ctor is (className, db, name) — NOT name+usage;
   // the 5-arg form carries usage/extended in the right slots
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getPackageName, null, name, usage, "")
+  private def info(name: String, usage: String, className: String): ExpressionInfo =
+    new ExpressionInfo(className, null, name, usage, "")
 
   /** Wrong-arity SQL calls must fail with a clear message, not a raw
     * IndexOutOfBounds from a blind exprs(i).
@@ -54,7 +58,7 @@ object GraftFunctions {
     }
 
   def registerAll(spark: SparkSession): Unit =
-    all.foreach { case (name, _, builder) =>
+    all.foreach { case (name, _, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, arity(argCount(name), name, builder), "scala_udf")
     }
@@ -62,8 +66,8 @@ object GraftFunctions {
   private def argCount(name: String): Int = if (name == "decode_block") 2 else 1
 
   private[plans] def inject(ext: SparkSessionExtensions): Unit =
-    all.foreach { case (name, usage, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+    all.foreach { case (name, usage, className, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage, className),
         arity(argCount(name), name, builder)))
     }
 }

@@ -50,4 +50,27 @@ class SourcesSpec extends AnyFunSuite {
       Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
     assert(df.count() > 0)
   }
+
+  test("manifest v7 fields (nextDocId, tombstone/grace dirs) round-trip") {
+    val dir = Files.createTempDirectory("graft-manifest-v7").toString
+    val m = IndexStore.Manifest("s", "a", 1.2, 0.75, 8, 100L, 128, 700L, 20.0,
+      Nil, Map("dirGen" -> 3.0), blockDirs = Seq("blocks"),
+      docDirs = Seq("docs"), termstatsDir = "termstats-g3", complete = true,
+      history = Seq("s"), positional = true, nextDocId = 777L,
+      tombstoneDirs = Seq("tombstones-g3"),
+      graceDirs = Seq("termstats-g2", "tombstones-g2"))
+    IndexStore.writeManifest(dir, m)
+    assert(IndexStore.readManifest(dir).contains(m))
+  }
+
+  test("TranscriptCatalog: stable snapshot id for unchanged data; read == transcripts") {
+    val cat = new graft.sources.ParquetTranscriptCatalog("/root/testdata/sf0.001")
+    assert(cat.currentSnapshotId == cat.currentSnapshotId)
+    assert(cat.currentSnapshotId !=
+      new graft.sources.ParquetTranscriptCatalog("/root/testdata/sf0.01").currentSnapshotId)
+    val viaCatalog = cat.read(spark).count()
+    assert(viaCatalog ==
+      TranscriptSource.fromDocuments(spark, "/root/testdata/sf0.001").count())
+    assert(viaCatalog > 0)
+  }
 }
