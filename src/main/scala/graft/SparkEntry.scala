@@ -88,29 +88,46 @@ object SparkEntry {
   private val LcSplit = "conv-0080"
 
   /** The full index lifecycle as a driver-visible artifact:
-    * build(conv < [[LcSplit]]) → appendSnapshot(rest) → deleteDocs(live
-    * docIds ≡ 0 mod 7 — a stand-in for a dedup keep-set complement). Every
-    * step is the crash-safe committed path; the loaded result carries live
-    * tombstones that the `delete_*` / `bm25_deleted_*` entries exercise
-    * end-to-end against survivor-exact oracles.
+    * build(conv < [[LcSplit]]) → appendSnapshot(rest) → deleteDocs(the
+    * REAL near-dup keep-set complement from the MinHash-LSH dedup
+    * pipeline, mapped into the index's id space, plus a deterministic
+    * redaction set docId ≡ 0 mod 7). Every step is the crash-safe
+    * committed path; the loaded result carries live tombstones that the
+    * `delete_*` / `bm25_deleted_*` entries exercise end-to-end against
+    * survivor-exact oracles. This IS "apply the dedup keep-set to a live
+    * index" — the reference could only rebuild from scratch
+    * (build_index.py:15 re-globs everything).
     */
   private[graft] def lifecycleIndex(s: SparkSession, dir: String): IndexStore.Index =
     lcIdxCache.getOrElseUpdate(cacheKey(s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = s"${sys.props("java.io.tmpdir")}/graft-index-lc-$safe"
-      val fp = fixtureFingerprint(dir)
+      // lcv2: the lifecycle's drop-set SEMANTICS are part of the content
+      val fp = fixtureFingerprint(dir) + "|lcv2"
       // positions are phrase-only; this index serves WAND entries
       val lcCfg = cfg.copy(storePositions = false)
       val all = turns(s, dir)
       // every step is history-idempotent, so a warm /tmp dir from an
       // earlier run of the SAME engine+fixtures no-ops all three
       IndexStore.build(s, all.filter(col("conv_id") < LcSplit), out,
-        snapshotId = s"$fp|lc-base", lcCfg)
+        snapshotId = s"$fp-base", lcCfg)
       IndexStore.appendSnapshot(s, all.filter(col("conv_id") >= LcSplit), out,
-        snapshotId = s"$fp|lc-delta", lcCfg)
+        snapshotId = s"$fp-delta", lcCfg)
       val live = IndexStore.load(s, out)
-      val drop = live.docs.toDF().select(col("docId")).filter(col("docId") % 7 === 0)
-      IndexStore.deleteDocs(s, drop, out, snapshotId = s"$fp|lc-del", lcCfg)
+      // near-dup losers live in the documents id space; invert the
+      // transcript derivation (src = turn_idx*Convs + conv number) to
+      // land them on index docIds
+      val withSrc = live.docs.toDF().select(col("docId"),
+        (col("turn_idx").cast("long") * TranscriptSource.Convs +
+          substring(col("conv_id"), 6, 4).cast("long")).as("src_id"))
+      val loserIds = withSrc.join(
+        graft.operators.TrainingData.dedupLosers(s, dir)
+          .withColumnRenamed("doc_id", "src_id"),
+        Seq("src_id"), "left_semi").select(col("docId"))
+      val drop = live.docs.toDF().select(col("docId"))
+        .filter(col("docId") % 7 === 0)
+        .unionByName(loserIds)
+      IndexStore.deleteDocs(s, drop, out, snapshotId = s"$fp-del", lcCfg)
       IndexStore.load(s, out)
     })
 
@@ -449,17 +466,25 @@ object SparkEntry {
 
   /** Lifecycle (post-delete) docs CTE: the same global id assignment as
     * [[cteDocs]] (the conv-prefix split keeps two-stage append ids equal to
-    * the global sort), minus the deleted set (docId ≡ 0 mod 7). Bound as
-    * `docs` so every downstream stats/scoring CTE automatically computes
-    * SURVIVOR-exact df/avgdl/N — the oracle for "identical to a
-    * from-scratch build on the surviving corpus".
+    * the global sort), minus the deleted set — the near-dup keep-set
+    * complement (MinHash-LSH cluster losers, mapped back through the
+    * inverse transcript derivation) plus the docId ≡ 0 mod 7 redaction
+    * set. Bound as `docs` so every downstream stats/scoring CTE
+    * automatically computes SURVIVOR-exact df/avgdl/N — the oracle for
+    * "identical to a from-scratch build on the surviving corpus".
     */
   private def cteLcDocs: String =
-    """docs0 AS (
-      |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
-      |         conv_id, turn_idx, text
-      |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\x00-\x20]')),
-      |docs AS (SELECT * FROM docs0 WHERE doc_id % 7 <> 0)""".stripMargin
+    s"""losers AS (
+       |${graft.operators.TrainingData.dedupLosersSubquery}
+       |),
+       |docs0 AS (
+       |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+       |         conv_id, turn_idx, text
+       |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\\x00-\\x20]')),
+       |docs AS (SELECT * FROM docs0
+       |  WHERE doc_id % 7 <> 0
+       |    AND (turn_idx * ${TranscriptSource.Convs} + CAST(substr(conv_id, 6) AS INT))
+       |        NOT IN (SELECT doc_id FROM losers))""".stripMargin
 
   /** Conjunctive (AND / -term) oracle: candidate docs must contain ALL
     * required analyzed terms (GROUP BY doc HAVING count(distinct term) = n

@@ -535,6 +535,23 @@ object TrainingData {
     ()
   }
 
+  /** Near-dup cluster members a keep-one dedup DROPS (keep = 0) — the
+    * keep-set complement SparkEntry's delete lifecycle applies to the
+    * live index.
+    */
+  private[graft] def dedupLosers(s: SparkSession, dir: String): DataFrame =
+    cachedClusters(s, dir).filter(col("keep") === 0).select(col("doc_id"))
+
+  /** Self-contained SQL subquery (own WITH RECURSIVE scope — legal inside
+    * a CTE body) yielding the same dropped doc_ids for the oracles.
+    */
+  private[graft] def dedupLosersSubquery: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$minhashOracle
+       |),
+       |$clusterCtes
+       |SELECT doc_id FROM clusters WHERE doc_id <> cluster_id""".stripMargin
+
   // ------------------------------------------------------- driver contract
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
