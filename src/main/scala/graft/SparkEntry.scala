@@ -118,8 +118,7 @@ object SparkEntry {
       // transcript derivation (src = turn_idx*Convs + conv number) to
       // land them on index docIds
       val withSrc = live.docs.toDF().select(col("docId"),
-        (col("turn_idx").cast("long") * TranscriptSource.Convs +
-          substring(col("conv_id"), 6, 4).cast("long")).as("src_id"))
+        TranscriptSource.srcDocIdCol.as("src_id"))
       val loserIds = withSrc.join(
         graft.operators.TrainingData.dedupLosers(s, dir)
           .withColumnRenamed("doc_id", "src_id"),
@@ -408,7 +407,7 @@ object SparkEntry {
   private def cteTranscripts: String =
     s"""transcripts AS (
        |  SELECT
-       |    'conv-' || lpad(CAST(doc_id % ${TranscriptSource.Convs} AS VARCHAR), 4, '0') AS conv_id,
+       |    'conv-' || lpad(CAST(doc_id % ${TranscriptSource.Convs} AS VARCHAR), ${TranscriptSource.ConvDigits}, '0') AS conv_id,
        |    CAST(floor(doc_id / ${TranscriptSource.Convs}) AS INT) AS turn_idx,
        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
        |         WHEN 2 THEN 'system' ELSE 'tool' END AS role,
@@ -420,12 +419,15 @@ object SparkEntry {
   // blank-test mirrors Java String.trim.nonEmpty EXACTLY ("has any char
   // above U+0020") — DuckDB's trim() strips spaces only, so a "\t"-only
   // text would get a doc_id in the oracle but not in the engine and shift
-  // every subsequent id
-  private def cteDocs: String =
-    """docs AS (
+  // every subsequent id. ONE body, parameterized by the bound name, so the
+  // lifecycle oracle can never drift from the plain one.
+  private def cteDocsAs(name: String): String =
+    s"""$name AS (
       |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
       |         conv_id, turn_idx, text
-      |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\x00-\x20]'))""".stripMargin
+      |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\\x00-\\x20]'))""".stripMargin
+
+  private def cteDocs: String = cteDocsAs("docs")
 
   private def cteTokens: String =
     s"""toks AS (
@@ -477,13 +479,10 @@ object SparkEntry {
     s"""losers AS (
        |${graft.operators.TrainingData.dedupLosersSubquery}
        |),
-       |docs0 AS (
-       |  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
-       |         conv_id, turn_idx, text
-       |  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '[^\\x00-\\x20]')),
+       |${cteDocsAs("docs0")},
        |docs AS (SELECT * FROM docs0
        |  WHERE doc_id % 7 <> 0
-       |    AND (turn_idx * ${TranscriptSource.Convs} + CAST(substr(conv_id, 6) AS INT))
+       |    AND ${TranscriptSource.srcDocIdSql}
        |        NOT IN (SELECT doc_id FROM losers))""".stripMargin
 
   /** Conjunctive (AND / -term) oracle: candidate docs must contain ALL

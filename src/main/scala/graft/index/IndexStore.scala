@@ -724,81 +724,92 @@ object IndexStore {
       .join(dropIds.select($"docId".cast("long").as("docId")).distinct(),
         Seq("docId"), "left_semi")
       .persist()
-    val nDrop = dropped.count()
-    if (nDrop == 0) { dropped.unpersist(); return BuildResult(base, dir) }
+    var removedTerms: DataFrame = null
+    var survivingTs: DataFrame = null
+    try {
+      val nDrop = dropped.count()
+      if (nDrop == 0) return BuildResult(base, dir)
 
-    // exact removed stats from ONE pass over the dropped docs only
-    val removedTerms = dropped
-      .select($"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
-      .select($"docId", size($"toks").as("dl"),
-        explode_outer(array_distinct($"toks")).as("term"))
-      .persist()
-    val removedTokens = removedTerms
-      .groupBy($"docId").agg(first($"dl").as("dl"))
-      .agg(sum($"dl".cast("long"))).as[Option[Long]].first().getOrElse(0L)
-    val removedDf = removedTerms.filter($"term".isNotNull)
-      .groupBy($"term").agg(count(lit(1)).as("rdf"))
+      // cap check FIRST (the prior count rides the manifest metric — no
+      // job), so a delete that will be refused never pays the re-analysis
+      val nTombs = base.metrics.getOrElse("tombstones", 0.0).toLong + nDrop
+      require(nTombs <= TombstoneCap,
+        s"$nTombs tombstones exceed TombstoneCap=$TombstoneCap — compact the index first")
 
-    val nNew = base.docCount - nDrop
-    val liveTokens = math.round(base.avgdl * base.docCount) - removedTokens
-    val avgdlNew = if (nNew == 0) 0.0 else liveTokens.toDouble / nNew
+      // exact removed stats from ONE pass over the dropped docs only
+      removedTerms = dropped
+        .select($"docId", Analyzer.tokensCol($"text", cfg.analyzer).as("toks"))
+        .select($"docId", size($"toks").as("dl"),
+          explode_outer(array_distinct($"toks")).as("term"))
+        .persist()
+      val removedTokens = removedTerms
+        .groupBy($"docId").agg(first($"dl").as("dl"))
+        .agg(sum($"dl".cast("long"))).as[Option[Long]].first().getOrElse(0L)
+      val removedDf = removedTerms.filter($"term".isNotNull)
+        .groupBy($"term").agg(count(lit(1)).as("rdf"))
 
-    val gen = nextGen(base)
-    val tsDir = s"termstats-g$gen"
-    val tombDir = s"tombstones-g$gen"
-    Seq(s"$dir/$tsDir", s"$dir/$tombDir").foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      val nNew = base.docCount - nDrop
+      val liveTokens = math.round(base.avgdl * base.docCount) - removedTokens
+      val avgdlNew = if (nNew == 0) 0.0 else liveTokens.toDouble / nNew
 
-    // merged tombstones: previous set ∪ new drops, ONE dir (the set is
-    // small between compactions; TombstoneCap bounds the reader contract)
-    val prevTombs: DataFrame =
-      if (base.tombstoneDirs.isEmpty) spark.emptyDataset[Long].toDF("docId")
-      else base.tombstoneDirs.map(d => spark.read.parquet(s"$dir/$d"))
-        .reduce(_.unionByName(_))
-    val nTombs = prevTombs.count() + nDrop
-    require(nTombs <= TombstoneCap,
-      s"$nTombs tombstones exceed TombstoneCap=$TombstoneCap — compact the index first")
-    prevTombs.unionByName(dropped.select($"docId"))
-      .coalesce(1).sort($"docId")
-      .write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tombDir")
+      val gen = nextGen(base)
+      val tsDir = s"termstats-g$gen"
+      val tombDir = s"tombstones-g$gen"
+      Seq(s"$dir/$tsDir", s"$dir/$tombDir").foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
 
-    // surviving term stats: df decremented, vanished terms dropped, idf
-    // over the surviving N. Degenerate guard as everywhere: never write or
-    // reference a zero-row parquet dir.
-    val survivingTs = idx.termStats.toDF()
-      .join(removedDf, Seq("term"), "left")
-      .select($"term", ($"df" - coalesce($"rdf", lit(0L))).as("df"))
-      .filter($"df" > 0)
-      .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
-      .persist()
-    val hasTs = survivingTs.limit(1).count() > 0
-    val tsDirFinal = if (hasTs) tsDir else ""
-    if (hasTs)
-      survivingTs.write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tsDir")
+      // merged tombstones: previous set ∪ new drops, ONE dir and one file
+      // (the set is small between compactions; load() sorts on read, so
+      // no write-side sort — it would just re-expand the coalesce)
+      val prevTombs: DataFrame =
+        if (base.tombstoneDirs.isEmpty) spark.emptyDataset[Long].toDF("docId")
+        else base.tombstoneDirs.map(d => spark.read.parquet(s"$dir/$d"))
+          .reduce(_.unionByName(_))
+      prevTombs.unionByName(dropped.select($"docId"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tombDir")
 
-    val m = base.copy(
-      snapshotId = snapshotId,
-      docCount = nNew,
-      avgdl = avgdlNew,
-      termstatsDir = tsDirFinal,
-      tombstoneDirs = Seq(tombDir),
-      metrics = base.metrics ++ Map(
-        "dirGen" -> gen.toDouble,
-        "tombstones" -> nTombs.toDouble,
-        "deletedTurns" -> nDrop.toDouble),
-      history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
-      graceDirs = (base.tombstoneDirs :+ base.termstatsDir)
-        .filter(d => d.nonEmpty && d != tsDirFinal))
-    if (failBeforeCommit)
-      throw new RuntimeException("injected failure before delete commit")
-    writeManifest(dir, m) // THE commit point
-    base.graceDirs.filterNot(d => m.graceDirs.contains(d)).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d")))
-    sweepOrphans(dir, m)
-    removedTerms.unpersist()
-    survivingTs.unpersist()
-    dropped.unpersist()
-    BuildResult(m, dir)
+      // surviving term stats: df decremented, vanished terms dropped, idf
+      // over the surviving N. Degenerate guard as everywhere: never write
+      // or reference a zero-row parquet dir.
+      survivingTs = idx.termStats.toDF()
+        .join(removedDf, Seq("term"), "left")
+        .select($"term", ($"df" - coalesce($"rdf", lit(0L))).as("df"))
+        .filter($"df" > 0)
+        .withColumn("idf", log((lit(nNew) + 1.0) / ($"df" + 1.0)))
+        .persist()
+      val hasTs = survivingTs.limit(1).count() > 0
+      val tsDirFinal = if (hasTs) tsDir else ""
+      if (hasTs)
+        survivingTs.write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tsDir")
+
+      val m = base.copy(
+        snapshotId = snapshotId,
+        docCount = nNew,
+        avgdl = avgdlNew,
+        termstatsDir = tsDirFinal,
+        tombstoneDirs = Seq(tombDir),
+        metrics = base.metrics ++ Map(
+          "dirGen" -> gen.toDouble,
+          "tombstones" -> nTombs.toDouble,
+          "deletedTurns" -> nDrop.toDouble),
+        history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
+        graceDirs = (base.tombstoneDirs :+ base.termstatsDir)
+          .filter(d => d.nonEmpty && d != tsDirFinal))
+      if (failBeforeCommit)
+        throw new RuntimeException("injected failure before delete commit")
+      writeManifest(dir, m) // THE commit point
+      base.graceDirs.filterNot(d => m.graceDirs.contains(d)).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$d")))
+      sweepOrphans(dir, m)
+      BuildResult(m, dir)
+    } finally {
+      // every exit path — cap refusal, injected crash, success — frees the
+      // cached intermediates; a long-lived ingest session retries deletes
+      dropped.unpersist()
+      if (removedTerms != null) removedTerms.unpersist()
+      if (survivingTs != null) survivingTs.unpersist()
+    }
   }
 
   // --------------------------------------------------------------- compact

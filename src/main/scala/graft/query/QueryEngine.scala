@@ -223,6 +223,58 @@ object QueryEngine {
       .filter($"rn" <= k).drop("rn")
   }
 
+  // --------------------------------------------------- shared scorer glue
+
+  /** Consume ONE shard group from a (shardId, term, minDocId)-sorted block
+    * stream: every block of the head shard, keyed by term. The single
+    * definition behind all three block scorers (WAND, conjunctive,
+    * phrase) — a shard-grouping fix lands everywhere at once.
+    */
+  private[query] def nextShardGroup(
+      it: BufferedIterator[PostingBlock]
+  ): scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[PostingBlock]] = {
+    val shard = it.head.shardId
+    val byTerm = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
+    while (it.hasNext && it.head.shardId == shard) {
+      val blk = it.next()
+      byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
+    }
+    byTerm
+  }
+
+  /** Bounded top-k accumulator under the global tie-break (score desc,
+    * docId asc): the evictable worst entry is the smallest score, ties
+    * broken toward the larger docId. Shared by the WAND and conjunctive
+    * shard scorers so the ranking contract has exactly one definition.
+    */
+  private[query] final class TopKHeap(k: Int) {
+    private val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2) // smaller score first
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1) // larger docId first
+      }
+    }
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
+
+    /** Current k-th score — WAND's θ; -inf while the heap is unfilled.
+      * Within a shard docIds only grow, so a candidate whose upper bound
+      * is <= θ can never displace an entry (equal score loses on docId).
+      */
+    def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._2
+
+    def offer(docId: Long, score: Double): Unit =
+      if (heap.size < k) heap.enqueue((docId, score))
+      else {
+        val worst = heap.head
+        if (score > worst._2 || (score == worst._2 && docId < worst._1)) {
+          heap.dequeue(); heap.enqueue((docId, score))
+        }
+      }
+
+    def drain(): Seq[(Long, Double)] = heap.dequeueAll.reverse
+  }
+
   // --------------------------------------------- conjunctive (boolean AND)
 
   /** Split a search-box query into (positive text, excluded terms): a
@@ -316,13 +368,7 @@ object QueryEngine {
     ): Iterator[(Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       while (it.hasNext) {
-        val shard = it.head.shardId
-        val byTerm = scala.collection.mutable.HashMap
-          .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
-        while (it.hasNext && it.head.shardId == shard) {
-          val blk = it.next()
-          byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
-        }
+        val byTerm = nextShardGroup(it)
         // docId-sharding co-locates a doc's postings: a match needs every
         // required term present in this shard
         if (qts.forall(q => byTerm.contains(q.term))) {
@@ -343,13 +389,7 @@ object QueryEngine {
       */
     private def intersectShard(req: Array[Cursor], not: Array[Cursor],
         k: Int, tombstones: Array[Long]): Seq[(Long, Double)] = {
-      implicit val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
-        def compare(a: (Long, Double), b: (Long, Double)): Int = {
-          val c = java.lang.Double.compare(b._2, a._2) // smaller score first
-          if (c != 0) c else java.lang.Long.compare(a._1, b._1) // larger docId first
-        }
-      }
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
+      val heap = new TopKHeap(k)
       var done = false
       while (!done) {
         var target = Long.MinValue
@@ -385,13 +425,7 @@ object QueryEngine {
               var score = 0.0
               var m = 0
               while (m < req.length) { score += req(m).currentContribution(); m += 1 }
-              if (heap.size < k) heap.enqueue((target, score))
-              else {
-                val worst = heap.head
-                if (score > worst._2 || (score == worst._2 && target < worst._1)) {
-                  heap.dequeue(); heap.enqueue((target, score))
-                }
-              }
+              heap.offer(target, score)
             }
             var a = 0
             while (a < req.length && !done) {
@@ -402,7 +436,7 @@ object QueryEngine {
           }
         }
       }
-      heap.dequeueAll.reverse
+      heap.drain()
     }
   }
 
@@ -632,14 +666,7 @@ object QueryEngine {
         private var cur: Iterator[(Long, Int, Int)] = Iterator.empty
         private def refill(): Unit =
           while (!cur.hasNext && it.hasNext) {
-            val shard = it.head.shardId
-            val byTerm = scala.collection.mutable.HashMap
-              .empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
-            while (it.hasNext && it.head.shardId == shard) {
-              val blk = it.next()
-              byTerm.getOrElseUpdate(blk.term,
-                scala.collection.mutable.ArrayBuffer.empty) += blk
-            }
+            val byTerm = nextShardGroup(it)
             // docId-sharding co-locates a doc's postings: a match needs
             // every distinct phrase term present in this shard
             if (distinctTerms.forall(byTerm.contains)) {
@@ -835,12 +862,7 @@ object QueryEngine {
     ): Iterator[(String, Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
       while (it.hasNext) {
-        val shard = it.head.shardId
-        val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[PostingBlock]]
-        while (it.hasNext && it.head.shardId == shard) {
-          val blk = it.next()
-          byTerm.getOrElseUpdate(blk.term, scala.collection.mutable.ArrayBuffer.empty) += blk
-        }
+        val byTerm = nextShardGroup(it)
         val sortedByTerm: Map[String, Array[PostingBlock]] =
           byTerm.iterator.map { case (t, bs) => t -> bs.sortBy(_.minDocId).toArray }.toMap
         // keyed by (term, minDocId): blockIdx is NOT unique within a
@@ -873,16 +895,8 @@ object QueryEngine {
       */
     private def wandShard(cursors: Array[Cursor], k: Int,
         tombstones: Array[Long] = Array.emptyLongArray): Seq[(Long, Double)] = {
-      // min-heap of (score, docId) under ordering: worse = smaller score,
-      // or equal score with larger docId
-      implicit val ord: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
-        def compare(a: (Long, Double), b: (Long, Double)): Int = {
-          val c = java.lang.Double.compare(b._2, a._2) // smaller score first
-          if (c != 0) c else java.lang.Long.compare(a._1, b._1) // larger docId first
-        }
-      }
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
-      def theta: Double = if (heap.size < k) Double.NegativeInfinity else heap.head._2
+      val heap = new TopKHeap(k)
+      def theta: Double = heap.theta
 
       val live = scala.collection.mutable.ArrayBuffer(cursors.toIndexedSeq: _*)
       while (live.nonEmpty) {
@@ -926,13 +940,7 @@ object QueryEngine {
               var score = 0.0
               var m = 0
               while (m < matching.length) { score += matching(m).currentContribution(); m += 1 }
-              if (heap.size < k) heap.enqueue((pivotDoc, score))
-              else {
-                val worst = heap.head
-                if (score > worst._2 || (score == worst._2 && pivotDoc < worst._1)) {
-                  heap.dequeue(); heap.enqueue((pivotDoc, score))
-                }
-              }
+              heap.offer(pivotDoc, score)
               matching.foreach(_.advance())
             } else {
               // skip: advance every cursor sitting on pivotDoc past it
@@ -959,7 +967,7 @@ object QueryEngine {
           while (li >= 0) { if (live(li).exhausted) live.remove(li); li -= 1 }
         }
       }
-      heap.dequeueAll.reverse
+      heap.drain()
     }
   }
 }

@@ -33,6 +33,24 @@ object TranscriptSource {
     */
   val Convs = 100
 
+  /** Digits in the zero-padded conv number ('conv-0042'). Shared by the
+    * forward lpad and BOTH inverse derivations below, so widening the id
+    * space can never desynchronize them.
+    */
+  val ConvDigits = 4
+
+  /** Inverse derivation: recover the source documents.doc_id from a
+    * transcript row (doc_id = turn_idx * Convs + conv number). ONE
+    * definition for the engine (Column) and the oracle (SQL) — e.g. the
+    * delete lifecycle maps dedup losers through it.
+    */
+  def srcDocIdCol: org.apache.spark.sql.Column =
+    col("turn_idx").cast("long") * Convs +
+      substring(col("conv_id"), 6, ConvDigits).cast("long")
+
+  def srcDocIdSql: String =
+    s"(turn_idx * $Convs + CAST(substr(conv_id, 6, $ConvDigits) AS BIGINT))"
+
   private val epoch = "2026-01-01 00:00:00"
 
   /** Deterministic transcripts derived from `<sfDir>/documents.parquet`
@@ -43,7 +61,7 @@ object TranscriptSource {
     val m = col("doc_id") % Convs
     val role = (col("doc_id") % 4).cast("int")
     docs.select(
-      concat(lit("conv-"), lpad(m.cast("string"), 4, "0")).as("conv_id"),
+      concat(lit("conv-"), lpad(m.cast("string"), ConvDigits, "0")).as("conv_id"),
       floor(col("doc_id") / Convs).cast("int").as("turn_idx"),
       when(role === 0, "user").when(role === 1, "assistant")
         .when(role === 2, "system").otherwise("tool").as("role"),
@@ -58,7 +76,7 @@ object TranscriptSource {
     */
   def oracleSqlView(sfDir: String): String =
     s"""SELECT
-       |  'conv-' || lpad(CAST(doc_id % $Convs AS VARCHAR), 4, '0') AS conv_id,
+       |  'conv-' || lpad(CAST(doc_id % $Convs AS VARCHAR), $ConvDigits, '0') AS conv_id,
        |  CAST(floor(doc_id / $Convs) AS INT) AS turn_idx,
        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
        |       WHEN 2 THEN 'system' ELSE 'tool' END AS role,
