@@ -78,6 +78,25 @@ class PlanSpec extends AnyFunSuite {
       "WAND scan reads the positions column:\n" + p)
   }
 
+  test("conjunctive scan: term predicate pushed, positions column unread, TakeOrderedAndProject finish") {
+    val idx = SparkEntry.index(spark, dir)
+    val p = plan(QueryEngine.conjunctiveTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "data spark -join", 10, SparkEntry.cfg))
+    assert(p.contains("PushedFilters: [In(term"), p)
+    val scanCols = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(scanCols.nonEmpty && !scanCols.exists(_.contains("positions#")),
+      "conjunctive scan reads the positions column:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("lifecycle (deleted) docs view broadcasts the tiny tombstone relation") {
+    val idx = SparkEntry.lifecycleIndex(spark, dir)
+    assert(idx.tombstoneIds.nonEmpty, "lifecycle fixture deleted nothing — vacuous")
+    val p = plan(idx.docs.toDF())
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "live docs view must anti-join a BROADCAST tombstone set:\n" + p)
+  }
+
   test("phrase scan pushes the term predicate and reads positions") {
     val idx = SparkEntry.index(spark, dir)
     val p = plan(QueryEngine.phraseMatches(spark, idx.blocks,
