@@ -303,9 +303,10 @@ class IncrementalSpec extends AnyFunSuite {
     assert(got == want, "resumed config-change rebuild lost documents")
   }
 
-  test("lifecycle fuzz: random append/compact/crash-retry sequences stay oracle-exact") {
+  test("lifecycle fuzz: random append/delete/compact/crash-retry sequences stay oracle-exact") {
     val enc = org.apache.spark.sql.Encoders.product[Turn]
     def ds(ts: Seq[Turn]) = spark.createDataset(ts)(enc)
+    import spark.implicits._
     (1 to 3).foreach { seed =>
       val rnd = new scala.util.Random(seed * 991L)
       // alternate positional-ness so append/compact exercise the position
@@ -313,9 +314,10 @@ class IncrementalSpec extends AnyFunSuite {
       val cfg = IncrementalSpec.this.cfg.copy(storePositions = seed % 2 == 0)
       val dir = Files.createTempDirectory(s"graft-fuzz-$seed").toString
       var corpus = shiftConvs(TranscriptGen.turns(seed * 7L, nConvs = 12), f"a$seed%02d-")
+      var dropped = Set.empty[Long]
       IndexStore.build(spark, ds(corpus), dir, s"fuzz-$seed-base", cfg)
-      (1 to 5).foreach { i =>
-        rnd.nextInt(3) match {
+      (1 to 6).foreach { i =>
+        rnd.nextInt(4) match {
           case 0 => // append, sometimes crashing just before the commit first
             val delta = shiftConvs(
               TranscriptGen.turns(seed * 100L + i, nConvs = 4 + rnd.nextInt(6)),
@@ -328,7 +330,8 @@ class IncrementalSpec extends AnyFunSuite {
             corpus ++= delta
           case 1 => // compact, sometimes crashing just before the commit first
             val m = IndexStore.readManifest(dir).get
-            val wouldRun = m.blockDirs.size > 1 || m.docDirs.size > 1
+            val wouldRun = m.blockDirs.size > 1 || m.docDirs.size > 1 ||
+              m.tombstoneDirs.nonEmpty
             if (wouldRun && rnd.nextBoolean()) intercept[RuntimeException] {
               IndexStore.compact(spark, dir, cfg, failBeforeCommit = true)
             }
@@ -338,16 +341,42 @@ class IncrementalSpec extends AnyFunSuite {
             val r = IndexStore.appendSnapshot(spark, ds(Seq.empty[Turn]), dir,
               s"fuzz-$seed-noop$i", cfg)
             assert(r.manifest.docCount == before.docCount)
+          case 3 => // delete a random slice of the LIVE ids (conv prefixes
+            // keep global sort == arrival order, so oracle ids are dense
+            // over `corpus`), sometimes crashing before the commit first
+            val liveIds = OracleBM25.corpus(corpus, cfg.analyzer)
+              .docs.map(_._1).filterNot(dropped.contains)
+            val slice = liveIds.filter(_ => rnd.nextDouble() < 0.25).toSet
+            if (slice.nonEmpty) {
+              val dropDf = slice.toSeq.toDF("docId")
+              if (rnd.nextBoolean()) intercept[RuntimeException] {
+                IndexStore.deleteDocs(spark, dropDf, dir, s"fuzz-$seed-del$i", cfg,
+                  failBeforeCommit = true)
+              }
+              IndexStore.deleteDocs(spark, dropDf, dir, s"fuzz-$seed-del$i", cfg)
+              dropped ++= slice
+            }
         }
       }
       val idx = IndexStore.load(spark, dir)
-      val oracle = OracleBM25.corpus(corpus, cfg.analyzer)
+      val full = OracleBM25.corpus(corpus, cfg.analyzer)
+      val oracle =
+        if (dropped.isEmpty) full
+        else {
+          val docs = full.docs.filterNot { case (id, _) => dropped.contains(id) }
+          val postings = full.postings
+            .map { case (t, m) => t -> m.filterNot { case (id, _) => dropped.contains(id) } }
+            .filter(_._2.nonEmpty)
+          val n = docs.size.toLong
+          val avgdl = if (n == 0) 0.0 else docs.map(d => full.dl(d._1)).sum.toDouble / n
+          OracleBM25.Corpus(docs, full.dl, postings, n, avgdl)
+        }
       assert(idx.manifest.docCount == oracle.n, s"seed=$seed docCount")
       assert(idx.manifest.avgdl == oracle.avgdl, s"seed=$seed avgdl")
       Seq("term0000 term0001", "term0002", "term0010 term0030").foreach { q =>
         val want = OracleBM25.topK(oracle, q, 10, cfg.analyzer)
         val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
-          idx.corpus, q, 10, cfg)
+          idx.corpus, q, 10, cfg, idx.tombstoneIds)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(got == want, s"seed=$seed q=[$q]")
       }
