@@ -728,51 +728,39 @@ object QueryEngine {
       out.toSeq
     }
 
-    /** # of start positions with a valid occurrence. slop = 0: terms(j)
-      * exactly at p+j. slop > 0: a strictly increasing chain whose total
-      * span is <= (n-1)+slop; the chain is completed GREEDILY (smallest
-      * position of term j strictly after the previous term's) — greedy
-      * minimizes the final position, so a greedy miss proves no chain
-      * exists for that start.
+    /** # of start positions with a valid occurrence: a strictly increasing
+      * chain whose total span is <= (n-1)+slop, completed GREEDILY
+      * (smallest position of term j strictly after the previous term's).
+      * Greedy minimizes the final position, so a greedy miss proves no
+      * chain exists for that start — and at slop = 0 the bound forces
+      * every step to exactly 1, i.e. exact adjacency, so one loop serves
+      * both semantics with no per-level array allocation.
       */
     private def phraseCount(terms: Seq[String], cursors: Map[String, PosCursor],
         slop: Int): Int = {
       val starts: Array[Int] = cursors(terms.head).curPositions
       if (terms.length == 1) return starts.length
-      if (slop == 0) {
-        var candidates = starts
+      val bound = terms.length - 1 + slop
+      var count = 0
+      var s = 0
+      while (s < starts.length) {
+        val start = starts(s)
+        var prev = start
+        var ok = true
         var j = 1
-        while (j < terms.length && candidates.nonEmpty) {
-          val next = cursors(terms(j)).curPositions // sorted ascending
-          val off = j
-          candidates = candidates.filter(p =>
-            java.util.Arrays.binarySearch(next, p + off) >= 0)
+        while (j < terms.length && ok) {
+          val next = cursors(terms(j)).curPositions
+          // smallest position strictly greater than prev
+          val ins = java.util.Arrays.binarySearch(next, prev + 1)
+          val idx = if (ins >= 0) ins else -ins - 1
+          if (idx >= next.length) ok = false
+          else { prev = next(idx); if (prev - start > bound) ok = false }
           j += 1
         }
-        candidates.length
-      } else {
-        val bound = terms.length - 1 + slop
-        var count = 0
-        var s = 0
-        while (s < starts.length) {
-          val start = starts(s)
-          var prev = start
-          var ok = true
-          var j = 1
-          while (j < terms.length && ok) {
-            val next = cursors(terms(j)).curPositions
-            // smallest position strictly greater than prev
-            val ins = java.util.Arrays.binarySearch(next, prev + 1)
-            val idx = if (ins >= 0) ins else -ins - 1
-            if (idx >= next.length) ok = false
-            else { prev = next(idx); if (prev - start > bound) ok = false }
-            j += 1
-          }
-          if (ok) count += 1
-          s += 1
-        }
-        count
+        if (ok) count += 1
+        s += 1
       }
+      count
     }
   }
 

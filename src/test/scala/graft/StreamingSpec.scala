@@ -114,6 +114,73 @@ class StreamingSpec extends AnyFunSuite {
       "restart must index the delta exactly once (no loss, no duplication)")
   }
 
+  test("deletes compose with streaming ingest: drop mid-stream, survivors + later batches exact") {
+    // the operational pattern: a dedup/redaction job applies a drop set
+    // BETWEEN micro-batches (single-writer contract), the stream keeps
+    // appending afterwards, and the in-stream compaction eventually purges
+    import java.nio.file.Files
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.model.Turn
+    import graft.query.QueryEngine
+    import TestKit.{OracleBM25, TranscriptGen}
+    import spark.implicits._
+    val cfg = IndexBuilder.Config(docIdPartitions = 2, numShards = 4)
+    def shift(ts: Seq[Turn], p: String) = ts.map(t => t.copy(conv_id = p + t.conv_id))
+    val base = shift(TranscriptGen.turns(seed = 73, nConvs = 10), "a-")
+    val delta = shift(TranscriptGen.turns(seed = 74, nConvs = 6), "b-")
+    val srcDir = Files.createTempDirectory("graft-sdel-src").toString
+    val idxDir = Files.createTempDirectory("graft-sdel-idx").toString
+    val ckptDir = Files.createTempDirectory("graft-sdel-ckpt").toString
+    val enc = org.apache.spark.sql.Encoders.product[Turn]
+    def startQuery() = {
+      val stream = spark.readStream.schema(enc.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(srcDir)
+      // compactAfterDeltas = 1: force an in-stream compaction on the next
+      // batch so it must purge the tombstones under the grace window
+      graft.streaming.EventStream.indexTurns(spark, stream, idxDir, ckptDir, cfg,
+        compactAfterDeltas = 1)
+    }
+
+    spark.createDataset(base)(enc).coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // stream is down: apply a drop set (every 3rd doc)
+    val fullBase = OracleBM25.corpus(base, cfg.analyzer)
+    val drop = fullBase.docs.map(_._1).filter(_ % 3 == 0).toSet
+    IndexStore.deleteDocs(spark, drop.toSeq.toDF("docId"), idxDir, "sdel-drop", cfg)
+
+    // stream restarts from the checkpoint, appends the next batch, and its
+    // compaction policy kicks in
+    spark.createDataset(delta)(enc).coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val idx = IndexStore.load(spark, idxDir)
+    // the in-stream compaction purged the tombstones physically
+    assert(idx.manifest.tombstoneDirs.isEmpty && idx.tombstoneIds.isEmpty,
+      "in-stream compaction should have purged the tombstones")
+    val combined = OracleBM25.corpus(base ++ delta, cfg.analyzer)
+    val survivors = {
+      val docs = combined.docs.filterNot { case (id, _) => drop.contains(id) }
+      val postings = combined.postings
+        .map { case (t, m) => t -> m.filterNot { case (id, _) => drop.contains(id) } }
+        .filter(_._2.nonEmpty)
+      val n = docs.size.toLong
+      val avgdl = if (n == 0) 0.0 else docs.map(d => combined.dl(d._1)).sum.toDouble / n
+      OracleBM25.Corpus(docs, combined.dl, postings, n, avgdl)
+    }
+    assert(idx.manifest.docCount == survivors.n)
+    assert(idx.manifest.avgdl == survivors.avgdl)
+    Seq("term0000 term0001", "term0002").foreach { text =>
+      val want = OracleBM25.topK(survivors, text, 10, cfg.analyzer)
+      val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+        idx.corpus, text, 10, cfg, idx.tombstoneIds)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"stream+delete mismatch for [$text]")
+    }
+  }
+
   test("stateful sessionization via mapGroupsWithState") {
     val batch = spark.read.parquet(s"$dir/events.parquet")
     val stream = EventStream.readEvents(spark, dir, "events.parquet", batch.schema)

@@ -154,6 +154,27 @@ class BooleanQuerySpec extends AnyFunSuite {
     assert(d2.size > d0.size, "fixture gave slop 2 nothing beyond adjacency — vacuous")
   }
 
+  test("property: conjunctive == scalar oracle over random corpora and queries") {
+    val rnd = new scala.util.Random(4242L)
+    (0 until 5).foreach { i =>
+      val turns = TranscriptGen.turns(seed = 9100L + i, nConvs = 8 + rnd.nextInt(20),
+        vocabSize = 40 + rnd.nextInt(200))
+      val idx = buildIndex(turns, s"graft-and-prop$i")
+      var nonEmpty = 0
+      (0 until 4).foreach { _ =>
+        val nPos = 1 + rnd.nextInt(3)
+        val nNeg = rnd.nextInt(2)
+        val q = ((0 until nPos).map(_ => f"term${rnd.nextInt(40)}%04d") ++
+          (0 until nNeg).map(_ => f"-term${rnd.nextInt(40)}%04d")).mkString(" ")
+        val want = andOracle(turns, q, 10)
+        val got = andTop(idx, q, 10)
+        assert(got == want, s"property AND mismatch corpus=$i q=[$q]")
+        if (want.nonEmpty) nonEmpty += 1
+      }
+      assert(nonEmpty > 0, s"corpus $i produced only empty AND results — weak fixture")
+    }
+  }
+
   test("slop with duplicate terms requires strictly increasing positions") {
     val turns = Seq(
       Turn("c0", 0, "user", "data x data", "", new java.sql.Timestamp(0L)), // within slop 1
