@@ -87,28 +87,37 @@ object SparkEntry {
     */
   private val LcSplit = "conv-0080"
 
-  /** The full index lifecycle as a driver-visible artifact:
+  /** The conversation whose surviving turns the lifecycle UPDATE step
+    * re-indexes with a deterministic digit redaction — one definition for
+    * the engine and the oracle.
+    */
+  private val LcUpdateConv = "conv-0042"
+
+  /** The full CRUD index lifecycle as a driver-visible artifact:
     * build(conv < [[LcSplit]]) → appendSnapshot(rest) → deleteDocs(the
     * REAL near-dup keep-set complement from the MinHash-LSH dedup
     * pipeline, mapped into the index's id space, plus a deterministic
-    * redaction set docId ≡ 0 mod 7). Every step is the crash-safe
-    * committed path; the loaded result carries live tombstones that the
-    * `delete_*` / `bm25_deleted_*` entries exercise end-to-end against
-    * survivor-exact oracles. This IS "apply the dedup keep-set to a live
-    * index" — the reference could only rebuild from scratch
-    * (build_index.py:15 re-globs everything).
+    * redaction set docId ≡ 0 mod 7) → updateDocs(re-index
+    * [[LcUpdateConv]]'s surviving turns with digits redacted — the
+    * PII-scrub shape; updated turns get NEW ids at the watermark). Every
+    * step is the crash-safe committed path; the loaded result carries
+    * live tombstones that the `delete_*` / `bm25_deleted_*` entries
+    * exercise end-to-end against survivor-exact oracles. This IS "apply
+    * the dedup keep-set / redaction to a live index" — the reference
+    * could only rebuild from scratch (build_index.py:15 re-globs
+    * everything).
     */
   private[graft] def lifecycleIndex(s: SparkSession, dir: String): IndexStore.Index =
     lcIdxCache.getOrElseUpdate(cacheKey(s, dir), {
       val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val out = s"${sys.props("java.io.tmpdir")}/graft-index-lc-$safe"
-      // lcv2: the lifecycle's drop-set SEMANTICS are part of the content
-      val fp = fixtureFingerprint(dir) + "|lcv2"
+      // lcv3: the lifecycle's drop/update SEMANTICS are part of the content
+      val fp = fixtureFingerprint(dir) + "|lcv3"
       // positions are phrase-only; this index serves WAND entries
       val lcCfg = cfg.copy(storePositions = false)
       val all = turns(s, dir)
       // every step is history-idempotent, so a warm /tmp dir from an
-      // earlier run of the SAME engine+fixtures no-ops all three
+      // earlier run of the SAME engine+fixtures no-ops all four
       IndexStore.build(s, all.filter(col("conv_id") < LcSplit), out,
         snapshotId = s"$fp-base", lcCfg)
       IndexStore.appendSnapshot(s, all.filter(col("conv_id") >= LcSplit), out,
@@ -127,6 +136,15 @@ object SparkEntry {
         .filter(col("docId") % 7 === 0)
         .unionByName(loserIds)
       IndexStore.deleteDocs(s, drop, out, snapshotId = s"$fp-del", lcCfg)
+      // update: redact digits in the surviving turns of one conversation
+      val afterDel = IndexStore.load(s, out)
+      val newVersions = afterDel.docs.toDF()
+        .filter(col("conv_id") === LcUpdateConv)
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          regexp_replace(col("text"), "[0-9]", "x").as("text"),
+          col("tool"), col("ts"))
+        .as[Turn](org.apache.spark.sql.Encoders.product[Turn])
+      IndexStore.updateDocs(s, newVersions, out, snapshotId = s"$fp-upd", lcCfg)
       IndexStore.load(s, out)
     })
 
@@ -466,24 +484,37 @@ object SparkEntry {
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
 
-  /** Lifecycle (post-delete) docs CTE: the same global id assignment as
-    * [[cteDocs]] (the conv-prefix split keeps two-stage append ids equal to
-    * the global sort), minus the deleted set — the near-dup keep-set
-    * complement (MinHash-LSH cluster losers, mapped back through the
-    * inverse transcript derivation) plus the docId ≡ 0 mod 7 redaction
-    * set. Bound as `docs` so every downstream stats/scoring CTE
-    * automatically computes SURVIVOR-exact df/avgdl/N — the oracle for
-    * "identical to a from-scratch build on the surviving corpus".
+  /** Lifecycle (post-delete, post-update) docs CTE: the same global id
+    * assignment as [[cteDocs]] (the conv-prefix split keeps two-stage
+    * append ids equal to the global sort), minus the deleted set — the
+    * near-dup keep-set complement (MinHash-LSH cluster losers, mapped back
+    * through the inverse transcript derivation) plus the docId ≡ 0 mod 7
+    * redaction set — and with [[LcUpdateConv]]'s surviving turns UPDATED:
+    * digits redacted, re-assigned NEW ids at the watermark (= count of all
+    * indexable docs; deletes never lower `nextDocId`) in (conv_id,
+    * turn_idx) order, exactly how appendSnapshot assigns the re-added
+    * versions. Bound as `docs` so every downstream stats/scoring CTE
+    * automatically computes post-lifecycle-exact df/avgdl/N — the oracle
+    * for "identical to a from-scratch build on the final corpus".
     */
   private def cteLcDocs: String =
     s"""losers AS (
        |${graft.operators.TrainingData.dedupLosersSubquery}
        |),
        |${cteDocsAs("docs0")},
-       |docs AS (SELECT * FROM docs0
+       |live0 AS (SELECT * FROM docs0
        |  WHERE doc_id % 7 <> 0
        |    AND ${TranscriptSource.srcDocIdSql}
-       |        NOT IN (SELECT doc_id FROM losers))""".stripMargin
+       |        NOT IN (SELECT doc_id FROM losers)),
+       |w AS (SELECT count(*) AS wm FROM docs0),
+       |upd AS (SELECT conv_id, turn_idx, regexp_replace(text, '[0-9]', 'x', 'g') AS text
+       |        FROM live0 WHERE conv_id = '$LcUpdateConv'),
+       |docs AS (
+       |  SELECT doc_id, conv_id, turn_idx, text FROM live0 WHERE conv_id <> '$LcUpdateConv'
+       |  UNION ALL
+       |  SELECT wm + row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+       |         conv_id, turn_idx, text
+       |  FROM upd CROSS JOIN w)""".stripMargin
 
   /** Conjunctive (AND / -term) oracle: candidate docs must contain ALL
     * required analyzed terms (GROUP BY doc HAVING count(distinct term) = n

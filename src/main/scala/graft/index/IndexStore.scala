@@ -812,6 +812,58 @@ object IndexStore {
     }
   }
 
+  // ---------------------------------------------------------------- update
+
+  /** Update (re-index) turns in a live index — the Lucene updateDocument
+    * shape: delete the existing versions (matched by their positional
+    * identity (conv_id, turn_idx)) then append the new ones, as two
+    * committed steps under derived snapshot ids (`<id>|del`, `<id>|add`).
+    * Completes the CRUD lifecycle: build → append → delete → UPDATE →
+    * compact.
+    *
+    * Each step is individually crash-safe and history-idempotent, so a
+    * retry of a half-applied update CONVERGES: if the delete committed but
+    * the append didn't, the retry's delete finds nothing live to drop (the
+    * old versions are already tombstoned) and the append runs; if both
+    * committed, both no-op. Between the two commits the affected turns are
+    * briefly absent from the live view — the same visibility window
+    * Lucene's delete+add has before its commit; callers needing atomic
+    * visibility pause readers across the two commits (seconds).
+    *
+    * Updated turns receive NEW docIds at the watermark — docIds are never
+    * reused, so caches/snapshots keyed by docId can never serve stale text
+    * under a recycled id. Turns in `newVersions` with no live match are
+    * plain appends (upsert semantics). Stats stay exact through both
+    * steps.
+    */
+  def updateDocs(
+      spark: SparkSession,
+      newVersions: Dataset[Turn],
+      dir: String,
+      snapshotId: String,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      failBetweenSteps: Boolean = false
+  ): BuildResult = {
+    import spark.implicits._
+    val base = readManifest(dir)
+      .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
+    require(base.complete, s"base index at $dir is incomplete")
+    // whole-update idempotence: the ADD step commits last, so its id in
+    // the history means the update fully applied
+    if (base.snapshotId == s"$snapshotId|add" || base.history.contains(s"$snapshotId|add"))
+      return BuildResult(base, dir)
+
+    val idx = load(spark, dir)
+    val keys = newVersions.toDF().select($"conv_id", $"turn_idx").distinct()
+    val dropIds = idx.docs.toDF()
+      .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
+      .select($"docId")
+    deleteDocs(spark, dropIds, dir, s"$snapshotId|del", cfg)
+    if (failBetweenSteps)
+      throw new RuntimeException("injected failure between update steps")
+    appendSnapshot(spark, newVersions, dir, s"$snapshotId|add", cfg)
+  }
+
   // --------------------------------------------------------------- compact
 
   /** Compact a multi-dir index (base + appended deltas) back into ONE

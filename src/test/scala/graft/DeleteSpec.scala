@@ -255,6 +255,80 @@ class DeleteSpec extends AnyFunSuite {
       OracleBM25.topK(oracle, q, 10, cfg.analyzer))
   }
 
+  /** Build a Corpus from explicit (id, text) pairs — for update oracles,
+    * where ids are no longer the dense sort of any single turn sequence.
+    */
+  private def corpusFromIds(docs: Seq[(Long, String)]): OracleBM25.Corpus = {
+    val toks = docs.map { case (id, text) =>
+      id -> graft.functions.Analyzer.tokenize(text, cfg.analyzer)
+    }
+    val dl = toks.map { case (id, ts) => id -> ts.size }.toMap
+    val postings = toks
+      .flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size).toMap).toMap
+    val n = docs.size.toLong
+    val avgdl = if (n == 0) 0.0 else dl.values.sum.toDouble / n
+    OracleBM25.Corpus(docs.toVector, dl, postings, n, avgdl)
+  }
+
+  test("update = delete + re-append: new text, new ids at the watermark, exact stats") {
+    val turns = TranscriptGen.turns(seed = 72, nConvs = 15)
+    val dir = Files.createTempDirectory("graft-upd").toString
+    IndexStore.build(spark, ds(turns), dir, "u-base", cfg)
+    val full = OracleBM25.corpus(turns, cfg.analyzer)
+
+    // rewrite every turn of one conversation (deterministic redaction)
+    val updConv = "conv-000003"
+    val newVersions = turns.filter(t => t.conv_id == updConv &&
+      t.text != null && t.text.trim.nonEmpty)
+      .map(t => t.copy(text = "redacted " + t.text.toUpperCase(java.util.Locale.ROOT)))
+    assert(newVersions.nonEmpty)
+    val r = IndexStore.updateDocs(spark, ds(newVersions), dir, "u-upd", cfg)
+    assert(r.manifest.docCount == full.n, "update must not change the live doc count")
+
+    val idx = IndexStore.load(spark, dir)
+    val byKey = idx.docs.collect().map(d => (d.conv_id, d.turn_idx) -> d).toMap
+    // old ids of updated turns are gone; new ids start at the watermark
+    val updatedKeys = newVersions.map(t => (t.conv_id, t.turn_idx)).toSet
+    updatedKeys.foreach { k =>
+      val d = byKey(k)
+      assert(d.docId >= full.n, s"updated turn $k kept a recycled id ${d.docId}")
+      assert(d.text.startsWith("redacted "), s"updated turn $k serves stale text")
+    }
+    // oracle: unchanged docs keep ids, updated docs get watermark ids in
+    // (conv_id, turn_idx) order. full.docs ids ARE indices into the
+    // indexable turns sorted by (conv_id, turn_idx) — same assignment.
+    val sortedIndexable = turns.filter(x => x.text != null && x.text.trim.nonEmpty)
+      .sortBy(x => (x.conv_id, x.turn_idx))
+    val keep = full.docs.filterNot { case (id, _) =>
+      val t = sortedIndexable(id.toInt)
+      updatedKeys.contains((t.conv_id, t.turn_idx))
+    }
+    val added = newVersions.sortBy(t => (t.conv_id, t.turn_idx))
+      .zipWithIndex.map { case (t, i) => (full.n + i, t.text) }
+    val oracle = corpusFromIds(keep ++ added)
+    assert(idx.manifest.avgdl == oracle.avgdl)
+    Seq("term0000 term0001", "redacted", "term0002").foreach { q =>
+      val want = OracleBM25.topK(oracle, q, 10, cfg.analyzer)
+      assert(wandTop(idx, q, 10) == want, s"post-update mismatch for [$q]")
+    }
+    assert(wandTop(idx, "redacted", 10).nonEmpty)
+
+    // crash BETWEEN the two steps: retry converges (delete no-ops via
+    // history, append runs), full-update idempotence afterwards
+    val upd2 = newVersions.map(t => t.copy(text = t.text + " twice"))
+    intercept[RuntimeException] {
+      IndexStore.updateDocs(spark, ds(upd2), dir, "u-upd2", cfg, failBetweenSteps = true)
+    }
+    val retried = IndexStore.updateDocs(spark, ds(upd2), dir, "u-upd2", cfg)
+    assert(retried.manifest.docCount == full.n)
+    val again = IndexStore.updateDocs(spark, ds(upd2), dir, "u-upd2", cfg)
+    assert(again.manifest == retried.manifest, "committed update must be a no-op on retry")
+    val idx2 = IndexStore.load(spark, dir)
+    assert(wandTop(idx2, "twice", 5).nonEmpty)
+  }
+
   test("deleting every document leaves a loadable, empty-answering index") {
     val turns = TranscriptGen.turns(seed = 70, nConvs = 8)
     val dir = Files.createTempDirectory("graft-del-all").toString
