@@ -703,7 +703,11 @@ object IndexStore {
       dir: String,
       snapshotId: String,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      failBeforeCommit: Boolean = false
+      failBeforeCommit: Boolean = false,
+      // an already-loaded handle of THIS index at its current manifest
+      // (updateDocs passes its own, saving the second load + tombstone
+      // collect); callers outside the single-writer path leave it None
+      preloaded: Option[Index] = None
   ): BuildResult = {
     import spark.implicits._
     val base = readManifest(dir)
@@ -715,7 +719,7 @@ object IndexStore {
       s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint} " +
         "(stats maintenance re-analyzes the dropped docs and must tokenize " +
         "exactly like the index)")
-    val idx = load(spark, dir)
+    val idx = preloaded.filter(_.manifest == base).getOrElse(load(spark, dir))
 
     // effective drop set: requested ∩ live docs (already-tombstoned or
     // never-assigned ids must not perturb the stats), consumed by the
@@ -848,17 +852,39 @@ object IndexStore {
     val base = readManifest(dir)
       .getOrElse(throw new IllegalStateException(s"no manifest at $dir"))
     require(base.complete, s"base index at $dir is incomplete")
+    // the APPEND step's preconditions, checked BEFORE the delete commits:
+    // deleteDocs alone only validates the analyzer, so a k1/b/blockSize/
+    // positional mismatch surfacing first at the append would leave the
+    // old versions permanently tombstoned with a retry that can never
+    // converge — fail the whole update up front instead
+    require(base.analyzer == cfg.analyzer.fingerprint,
+      s"analyzer mismatch: index=${base.analyzer} cfg=${cfg.analyzer.fingerprint}")
+    require(base.k1 == cfg.params.k1 && base.b == cfg.params.b,
+      s"BM25 param mismatch: index=(${base.k1},${base.b}) cfg=(${cfg.params.k1},${cfg.params.b})")
+    require(base.blockSize == cfg.blockSize,
+      s"blockSize mismatch: index=${base.blockSize} cfg=${cfg.blockSize}")
+    require(base.positional == cfg.storePositions,
+      s"positional mismatch: index=${base.positional} cfg=${cfg.storePositions}")
     // whole-update idempotence: the ADD step commits last, so its id in
     // the history means the update fully applied
     if (base.snapshotId == s"$snapshotId|add" || base.history.contains(s"$snapshotId|add"))
       return BuildResult(base, dir)
+
+    // positional identity must be unique in the new versions — two rows
+    // claiming the same (conv_id, turn_idx) would BOTH be appended and
+    // the live view would carry duplicate identities forever
+    val dups = newVersions.toDF().groupBy($"conv_id", $"turn_idx")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1).limit(1).collect()
+    require(dups.isEmpty,
+      s"duplicate (conv_id, turn_idx) in newVersions, e.g. " +
+        s"(${dups.headOption.map(r => s"${r.get(0)}, ${r.get(1)}").getOrElse("")})")
 
     val idx = load(spark, dir)
     val keys = newVersions.toDF().select($"conv_id", $"turn_idx").distinct()
     val dropIds = idx.docs.toDF()
       .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
       .select($"docId")
-    deleteDocs(spark, dropIds, dir, s"$snapshotId|del", cfg)
+    deleteDocs(spark, dropIds, dir, s"$snapshotId|del", cfg, preloaded = Some(idx))
     if (failBetweenSteps)
       throw new RuntimeException("injected failure between update steps")
     appendSnapshot(spark, newVersions, dir, s"$snapshotId|add", cfg)

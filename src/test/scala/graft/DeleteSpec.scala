@@ -255,22 +255,9 @@ class DeleteSpec extends AnyFunSuite {
       OracleBM25.topK(oracle, q, 10, cfg.analyzer))
   }
 
-  /** Build a Corpus from explicit (id, text) pairs — for update oracles,
-    * where ids are no longer the dense sort of any single turn sequence.
-    */
-  private def corpusFromIds(docs: Seq[(Long, String)]): OracleBM25.Corpus = {
-    val toks = docs.map { case (id, text) =>
-      id -> graft.functions.Analyzer.tokenize(text, cfg.analyzer)
-    }
-    val dl = toks.map { case (id, ts) => id -> ts.size }.toMap
-    val postings = toks
-      .flatMap { case (id, ts) => ts.map(t => (t, id)) }
-      .groupBy(_._1).view
-      .mapValues(_.groupBy(_._2).view.mapValues(_.size).toMap).toMap
-    val n = docs.size.toLong
-    val avgdl = if (n == 0) 0.0 else dl.values.sum.toDouble / n
-    OracleBM25.Corpus(docs.toVector, dl, postings, n, avgdl)
-  }
+  /** Corpus from explicit (id, text) pairs (update oracles). */
+  private def corpusFromIds(docs: Seq[(Long, String)]): OracleBM25.Corpus =
+    OracleBM25.corpusFromDocs(docs.toVector, cfg.analyzer)
 
   test("update = delete + re-append: new text, new ids at the watermark, exact stats") {
     val turns = TranscriptGen.turns(seed = 72, nConvs = 15)
@@ -327,6 +314,33 @@ class DeleteSpec extends AnyFunSuite {
     assert(again.manifest == retried.manifest, "committed update must be a no-op on retry")
     val idx2 = IndexStore.load(spark, dir)
     assert(wandTop(idx2, "twice", 5).nonEmpty)
+  }
+
+  test("update guards: config mismatch fails BEFORE the delete commits; duplicate keys rejected") {
+    val turns = TranscriptGen.turns(seed = 75, nConvs = 8)
+    val dir = Files.createTempDirectory("graft-upd-guard").toString
+    IndexStore.build(spark, ds(turns), dir, "g-base", cfg)
+    val before = IndexStore.readManifest(dir).get
+    val newV = turns.filter(t => t.text != null && t.text.trim.nonEmpty).take(3)
+      .map(t => t.copy(text = "changed " + t.text))
+    // positional/param mismatch must fail the WHOLE update up front — if
+    // the delete step committed first, the old versions would be
+    // tombstoned forever with an append that can never succeed
+    intercept[IllegalArgumentException] {
+      IndexStore.updateDocs(spark, ds(newV), dir, "g-upd",
+        cfg.copy(storePositions = !cfg.storePositions))
+    }
+    assert(IndexStore.readManifest(dir).get == before,
+      "a refused update must not have committed its delete step")
+    // duplicate positional identities in newVersions are rejected (both
+    // would be appended -> duplicate live identity)
+    intercept[IllegalArgumentException] {
+      IndexStore.updateDocs(spark, ds(newV ++ newV.take(1)), dir, "g-upd2", cfg)
+    }
+    assert(IndexStore.readManifest(dir).get == before)
+    // and the clean update still works afterwards
+    val r = IndexStore.updateDocs(spark, ds(newV), dir, "g-upd3", cfg)
+    assert(r.manifest.docCount == before.docCount)
   }
 
   test("deleting every document leaves a loadable, empty-answering index") {

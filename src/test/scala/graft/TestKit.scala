@@ -106,14 +106,11 @@ object TestKit {
         avgdl: Double
     )
 
-    /** Mirrors the engine pipeline: P6 filter, stable (conv_id, turn_idx)
-      * sort for docIds, analyzer tokens, N over all indexable docs.
+    /** Corpus from explicit (id, text) pairs — update oracles assign ids
+      * that are no longer the dense sort of one turn sequence; `corpus()`
+      * delegates here so the stats body has one definition.
       */
-    def corpus(turns: Seq[Turn], cfg: Analyzer.Config): Corpus = {
-      val indexable = turns
-        .filter(t => t.text != null && t.text.trim.nonEmpty)
-        .sortBy(t => (t.conv_id, t.turn_idx))
-      val docs = indexable.zipWithIndex.map { case (t, i) => (i.toLong, t.text) }.toVector
+    def corpusFromDocs(docs: Vector[(Long, String)], cfg: Analyzer.Config): Corpus = {
       val toks = docs.map { case (id, text) => id -> Analyzer.tokenize(text, cfg) }
       val dl = toks.map { case (id, ts) => id -> ts.size }.toMap
       val postings = toks
@@ -124,6 +121,16 @@ object TestKit {
       val avgdl = if (n == 0) 0.0 else dl.values.sum.toDouble / n
       Corpus(docs, dl, postings, n, avgdl)
     }
+
+    /** Mirrors the engine pipeline: P6 filter, stable (conv_id, turn_idx)
+      * sort for docIds, analyzer tokens, N over all indexable docs.
+      */
+    def corpus(turns: Seq[Turn], cfg: Analyzer.Config): Corpus =
+      corpusFromDocs(
+        turns.filter(t => t.text != null && t.text.trim.nonEmpty)
+          .sortBy(t => (t.conv_id, t.turn_idx))
+          .zipWithIndex.map { case (t, i) => (i.toLong, t.text) }.toVector,
+        cfg)
 
     def topK(c: Corpus, query: String, k: Int, cfg: Analyzer.Config,
         params: Bm25Params = Bm25Params()): Seq[(Long, Double)] = {
