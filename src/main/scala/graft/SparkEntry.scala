@@ -498,18 +498,22 @@ object SparkEntry {
     * for "identical to a from-scratch build on the final corpus".
     */
   private def cteLcDocs: String =
-    s"""losers AS (
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+    // recursive losers subquery (and the whole lifecycle doc set) would
+    // otherwise re-evaluate once per downstream stats CTE — a
+    // multi-minute oracle instead of a sub-second one
+    s"""losers AS MATERIALIZED (
        |${graft.operators.TrainingData.dedupLosersSubquery}
        |),
        |${cteDocsAs("docs0")},
-       |live0 AS (SELECT * FROM docs0
+       |live0 AS MATERIALIZED (SELECT * FROM docs0
        |  WHERE doc_id % 7 <> 0
        |    AND ${TranscriptSource.srcDocIdSql}
        |        NOT IN (SELECT doc_id FROM losers)),
        |w AS (SELECT count(*) AS wm FROM docs0),
        |upd AS (SELECT conv_id, turn_idx, regexp_replace(text, '[0-9]', 'x', 'g') AS text
        |        FROM live0 WHERE conv_id = '$LcUpdateConv'),
-       |docs AS (
+       |docs AS MATERIALIZED (
        |  SELECT doc_id, conv_id, turn_idx, text FROM live0 WHERE conv_id <> '$LcUpdateConv'
        |  UNION ALL
        |  SELECT wm + row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
