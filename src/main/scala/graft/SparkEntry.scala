@@ -196,6 +196,12 @@ object SparkEntry {
     */
   private[graft] val slopQuery: (String, Int) = ("data stream", 2)
 
+  /** Minimum-should-match fixture: docs matching >= m of the n query
+    * terms (Lucene BooleanQuery.minimumShouldMatch — between WAND's m=1
+    * and conjunctive's m=n).
+    */
+  private[graft] val msmQuery: (String, Int) = ("spark join data stream", 2)
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -275,6 +281,14 @@ object SparkEntry {
     val idx = lifecycleIndex(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
       q, WandFetchK, cfg, idx.tombstoneIds)
+    finish(top, idx.docs, k)
+  }
+
+  /** Minimum-should-match (m-of-n) query. */
+  private[graft] def bm25Msm(s: SparkSession, dir: String, q: String, m: Int, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.minShouldMatchTopK(s, idx.blocks, idx.termStats,
+      idx.corpus, q, m, WandFetchK, cfg, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -407,10 +421,13 @@ object SparkEntry {
     val slopQ = Map(
       "phrase_slop" -> ((s: SparkSession, dir: String) =>
         bm25PhraseSlop(s, dir, slopQuery._1, slopQuery._2)))
+    val msmQ = Map(
+      "bm25_msm_q1" -> ((s: SparkSession, dir: String) =>
+        bm25Msm(s, dir, msmQuery._1, msmQuery._2)))
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
-      slopQ ++ batchQ
+      slopQ ++ msmQ ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -552,6 +569,36 @@ object SparkEntry {
        |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
        |  CROSS JOIN corpus c
        |  WHERE p.doc_id IN (SELECT doc_id FROM m)$exclPred),
+       |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
+       |FROM scores s JOIN docs d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Minimum-should-match oracle: docs with at least m distinct matched
+    * query terms, scored over the terms they contain (post JOIN q yields
+    * only present terms, exactly the engine's matched-clause scoring).
+    */
+  private def bm25MsmOracleSql(queryText: String, m: Int): String = {
+    val qterms = Analyzer.analyzeQuery(queryText, cfg.analyzer)
+    val values = qterms.map { case (t, n) => s"('$t', $n)" }.mkString(", ")
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |q(term, qtf) AS (VALUES $values),
+       |mset AS (SELECT p.doc_id FROM post p JOIN q USING (term)
+       |      GROUP BY 1 HAVING count(DISTINCT p.term) >= $m),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c
+       |  WHERE p.doc_id IN (SELECT doc_id FROM mset)),
        |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
        |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
        |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
@@ -777,11 +824,13 @@ object SparkEntry {
           "FROM tstat t CROSS JOIN corpus c"))
     val slopQ = Map(
       "phrase_slop" -> phraseSlopOracleSql(slopQuery._1, slopQuery._2))
+    val msmQ = Map(
+      "bm25_msm_q1" -> bm25MsmOracleSql(msmQuery._1, msmQuery._2))
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
-      lifecycleOracles ++ slopQ ++ batchOracle
+      lifecycleOracles ++ slopQ ++ msmQ ++ batchOracle
   }
 }

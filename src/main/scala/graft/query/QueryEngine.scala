@@ -353,6 +353,131 @@ object QueryEngine {
       .limit(k)
   }
 
+  /** Minimum-should-match top-k (Lucene BooleanQuery.minimumShouldMatch):
+    * documents containing at least `m` of the query's distinct analyzed
+    * terms qualify, ranked by BM25 over the terms they contain. m = 1 is
+    * disjunctive top-k (rank-identical to [[wandTopK]], property-tested);
+    * m = n is conjunctive AND ([[conjunctiveTopK]] without exclusions).
+    *
+    * A query term absent from the corpus can never match, so it lowers
+    * the achievable count: if fewer than m terms have postings the result
+    * is empty (Lucene's SHOULD-clause semantics). Per shard the scorer is
+    * a document-at-a-time merge over the term cursors — work is bounded
+    * by the UNION of the query terms' postings, the same bound WAND has
+    * before its skipping; msm < n forfeits WAND pruning because a doc's
+    * eligibility depends on its match COUNT, which upper bounds can't
+    * prove absent.
+    */
+  def minShouldMatchTopK(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      query: String,
+      m: Int,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: Array[Long] = Array.emptyLongArray
+  ): DataFrame = {
+    import spark.implicits._
+    require(m >= 1, s"minimumShouldMatch must be >= 1, got $m")
+    val analyzed = Analyzer.analyzeQuery(query, cfg.analyzer)
+    if (analyzed.isEmpty) return emptyScores(spark)
+    val idfs: Map[String, Double] = termStats
+      .filter($"term".isin(analyzed.map(_._1): _*))
+      .collect().map(t => t.term -> t.idf).toMap
+    val qts = analyzed.collect {
+      case (t, qtf) if idfs.contains(t) => QTerm(t, qtf * idfs(t))
+    }.sortBy(_.term)
+    // fewer live terms than m => no document can reach the threshold
+    if (qts.size < m) return emptyScores(spark)
+
+    val p = cfg.params
+    val avgdl = corpus.avgdl
+    val kk = k
+    val mm = m
+    val qtsB = spark.sparkContext.broadcast(qts)
+    val tsB = spark.sparkContext.broadcast(tombstones)
+    val parts = math.max(1, math.min(cfg.numShards,
+      spark.sparkContext.defaultParallelism))
+    scoringBlocks(blocks)
+      .filter($"term".isin(qts.map(_.term): _*))
+      .repartitionByRange(parts, $"shardId")
+      .sortWithinPartitions($"shardId", $"term", $"minDocId")
+      .mapPartitions { it =>
+        MsmScorer.scorePartition(it.buffered, qtsB.value, mm, kk, p.k1, p.b,
+          avgdl, tsB.value)
+      }
+      .toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
+  /** m-of-n doc-at-a-time merge + BM25 scoring per shard. */
+  private[query] object MsmScorer {
+    import WandScorer.Cursor
+
+    /** Rows must arrive sorted by (shardId, term, minDocId). */
+    def scorePartition(
+        it: BufferedIterator[PostingBlock],
+        qts: Seq[QTerm],
+        m: Int,
+        k: Int,
+        k1: Double, b: Double, avgdl: Double,
+        tombstones: Array[Long]
+    ): Iterator[(Long, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (it.hasNext) {
+        val byTerm = nextShardGroup(it)
+        // qts is term-sorted, so iterating cursors in build order pins
+        // the ascending-term summation order
+        val cursors = qts.flatMap { q =>
+          byTerm.get(q.term).map(bs =>
+            new Cursor(q.term, q.weight, bs.sortBy(_.minDocId).toArray, k1, b, avgdl))
+        }.toArray
+        if (cursors.length >= m) out ++= mergeShard(cursors, m, k, tombstones)
+      }
+      out.iterator
+    }
+
+    private def mergeShard(cursors: Array[Cursor], m: Int, k: Int,
+        tombstones: Array[Long]): Seq[(Long, Double)] = {
+      val heap = new TopKHeap(k)
+      var liveCount = cursors.count(!_.exhausted)
+      while (liveCount >= m) {
+        // current minimum docId across live cursors
+        var minDoc = Long.MaxValue
+        var i = 0
+        while (i < cursors.length) {
+          if (!cursors(i).exhausted && cursors(i).curDoc < minDoc)
+            minDoc = cursors(i).curDoc
+          i += 1
+        }
+        // count + score the cursors sitting on it (ascending term order)
+        val dead = tombstones.length > 0 &&
+          java.util.Arrays.binarySearch(tombstones, minDoc) >= 0
+        var matched = 0
+        var score = 0.0
+        var j = 0
+        while (j < cursors.length) {
+          if (!cursors(j).exhausted && cursors(j).curDoc == minDoc) {
+            matched += 1
+            if (!dead) score += cursors(j).currentContribution()
+          }
+          j += 1
+        }
+        if (!dead && matched >= m) heap.offer(minDoc, score)
+        var a = 0
+        while (a < cursors.length) {
+          if (!cursors(a).exhausted && cursors(a).curDoc == minDoc) cursors(a).advance()
+          a += 1
+        }
+        liveCount = cursors.count(!_.exhausted)
+      }
+      heap.drain()
+    }
+  }
+
   /** All-terms-required intersect + BM25 scoring per shard. */
   private[query] object ConjunctiveScorer {
     import WandScorer.Cursor

@@ -89,6 +89,55 @@ class BooleanQuerySpec extends AnyFunSuite {
     }
   }
 
+  private def msmTop(idx: IndexStore.Index, q: String, m: Int, k: Int): Seq[(Long, Double)] =
+    QueryEngine.minShouldMatchTopK(spark, idx.blocks, idx.termStats, idx.corpus,
+      q, m, k, cfg).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** Scalar msm oracle: docs matching >= m distinct query terms, scored
+    * over the terms they contain.
+    */
+  private def msmOracle(turns: Seq[Turn], query: String, m: Int, k: Int): Seq[(Long, Double)] = {
+    val c = OracleBM25.corpus(turns, cfg.analyzer)
+    val qterms = Analyzer.analyzeQuery(query, cfg.analyzer)
+      .filter { case (t, _) => c.postings.contains(t) }
+    if (qterms.size < m) return Nil
+    val idf = qterms.map { case (t, _) => t -> Bm25.idf(c.n, c.postings(t).size) }.toMap
+    val matching = c.docs.map(_._1).filter(d =>
+      qterms.count { case (t, _) => c.postings(t).contains(d) } >= m)
+    matching.map { d =>
+      var s = 0.0
+      qterms.foreach { case (t, qtf) => // ascending-term summation order
+        c.postings(t).get(d).foreach(tf =>
+          s += Bm25.contribution(qtf, idf(t), tf, c.dl(d), c.avgdl, cfg.params))
+      }
+      (d, s)
+    }.sortBy { case (d, s) => (-s, d) }.take(k)
+  }
+
+  test("minimum-should-match matches the oracle; m=1 == WAND, m=n == AND") {
+    val turns = TranscriptGen.turns(seed = 95, nConvs = 40)
+    val idx = buildIndex(turns, "graft-msm")
+    val q4 = "term0000 term0001 term0002 term0003"
+    (1 to 4).foreach { m =>
+      val want = msmOracle(turns, q4, m, 10)
+      val got = msmTop(idx, q4, m, 10)
+      assert(got == want, s"msm mismatch for [$q4] m=$m")
+      assert(m == 4 || want.nonEmpty, s"vacuous msm fixture at m=$m")
+    }
+    // m = 1 is disjunctive top-k: rank-identical to WAND
+    assert(msmTop(idx, q4, 1, 10) ==
+      QueryEngine.wandTopK(spark, idx.blocks, idx.termStats, idx.corpus, q4, 10, cfg)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "msm(1) must equal WAND's disjunctive top-k")
+    // m = n is conjunctive AND (no exclusions)
+    assert(msmTop(idx, q4, 4, 10) == andTop(idx, q4, 10),
+      "msm(n) must equal the conjunctive intersect")
+    // absent terms lower the achievable count: 3 live terms can't reach 4
+    assert(msmTop(idx, "term0000 term0001 term0002 zzznotaterm", 4, 10).isEmpty)
+    assert(msmTop(idx, "term0000 term0001 term0002 zzznotaterm", 3, 10) ==
+      msmTop(idx, "term0000 term0001 term0002", 3, 10))
+  }
+
   /** Scalar slop oracle: brute-force chain existence (DFS, not greedy —
     * deliberately a different algorithm from the engine's greedy
     * completion) per start position over the filtered token stream.
