@@ -202,6 +202,11 @@ object SparkEntry {
     */
   private[graft] val msmQuery: (String, Int) = ("spark join data stream", 2)
 
+  /** Prefix/wildcard fixture: `dat*` expands against the term dictionary,
+    * `join` stays literal.
+    */
+  private[graft] val prefixQuery: String = "dat* join"
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -281,6 +286,14 @@ object SparkEntry {
     val idx = lifecycleIndex(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
       q, WandFetchK, cfg, idx.tombstoneIds)
+    finish(top, idx.docs, k)
+  }
+
+  /** Prefix/wildcard query (dictionary expansion -> WAND). */
+  private[graft] def bm25Prefix(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.prefixTopK(s, idx.blocks, idx.termStats,
+      idx.corpus, q, WandFetchK, cfg, idx.tombstoneIds)
     finish(top, idx.docs, k)
   }
 
@@ -423,7 +436,9 @@ object SparkEntry {
         bm25PhraseSlop(s, dir, slopQuery._1, slopQuery._2)))
     val msmQ = Map(
       "bm25_msm_q1" -> ((s: SparkSession, dir: String) =>
-        bm25Msm(s, dir, msmQuery._1, msmQuery._2)))
+        bm25Msm(s, dir, msmQuery._1, msmQuery._2)),
+      "bm25_prefix_q1" -> ((s: SparkSession, dir: String) =>
+        bm25Prefix(s, dir, prefixQuery)))
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
@@ -599,6 +614,45 @@ object SparkEntry {
        |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
        |  CROSS JOIN corpus c
        |  WHERE p.doc_id IN (SELECT doc_id FROM mset)),
+       |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
+       |FROM scores s JOIN docs d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
+  /** Prefix/wildcard oracle: wildcard tokens expand against the term
+    * dictionary (LIKE 'p%' ORDER BY term LIMIT cap — the engine's exact
+    * expansion rule), weights merge per distinct term, then the standard
+    * BM25 fold. Parsing is [[QueryEngine.parsePrefixQuery]] on BOTH sides.
+    */
+  private def bm25PrefixOracleSql(queryText: String): String = {
+    val (literal, prefixes) = QueryEngine.parsePrefixQuery(queryText, cfg)
+    val litSelect =
+      if (literal.isEmpty) Nil
+      else Seq("SELECT * FROM (VALUES " +
+        literal.map { case (t, n) => s"('$t', $n)" }.mkString(", ") + ") v(term, qtf)")
+    val expSelects = prefixes.map { case (p, n) =>
+      s"""SELECT term, $n AS qtf FROM (
+         |    SELECT term FROM tstat WHERE term LIKE '$p%'
+         |    ORDER BY term LIMIT ${QueryEngine.PrefixExpansionCap})""".stripMargin
+    }
+    val qBody = (litSelect ++ expSelects).mkString("\n  UNION ALL ")
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |q AS (SELECT term, CAST(SUM(qtf) AS INT) AS qtf FROM (
+       |  $qBody
+       |) GROUP BY 1),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c),
        |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
        |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
        |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
@@ -825,7 +879,8 @@ object SparkEntry {
     val slopQ = Map(
       "phrase_slop" -> phraseSlopOracleSql(slopQuery._1, slopQuery._2))
     val msmQ = Map(
-      "bm25_msm_q1" -> bm25MsmOracleSql(msmQuery._1, msmQuery._2))
+      "bm25_msm_q1" -> bm25MsmOracleSql(msmQuery._1, msmQuery._2),
+      "bm25_prefix_q1" -> bm25PrefixOracleSql(prefixQuery))
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"

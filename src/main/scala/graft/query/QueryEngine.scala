@@ -353,6 +353,67 @@ object QueryEngine {
       .limit(k)
   }
 
+  /** Shared by [[prefixTopK]] and its oracle builder: wildcard tokens
+    * (trailing `*`) are split from literal ones BEFORE analysis ('*' is
+    * not a word character — the analyzer would silently strip it), and
+    * each prefix is analyzed under the same case/word-break rules as a
+    * term. Returns (analyzed literal (term, qtf), (prefix, qtf)).
+    */
+  private[graft] def parsePrefixQuery(query: String,
+      cfg: IndexBuilder.Config): (Seq[(String, Int)], Seq[(String, Int)]) = {
+    val rawTokens = query.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (wild, plain) = rawTokens.partition(t => t.length > 1 && t.endsWith("*"))
+    val literal = Analyzer.analyzeQuery(plain.mkString(" "), cfg.analyzer)
+    val prefixes = wild
+      .flatMap(t => Analyzer.tokenize(t.dropRight(1), cfg.analyzer).lastOption)
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    (literal, prefixes)
+  }
+
+  /** Max dictionary terms a single trailing-`*` token may expand to —
+    * Lucene's MaxClauseCount shape. Deterministic: the FIRST cap terms in
+    * ascending term order (mirrored in the oracle); beyond it a prefix is
+    * too unselective to be a useful query anyway.
+    */
+  val PrefixExpansionCap = 1024
+
+  /** Prefix/wildcard top-k: query tokens ending in `*` expand against the
+    * term dictionary (Lucene MultiTermQuery, SCORING_BOOLEAN rewrite) and
+    * the whole query then runs as ordinary disjunctive WAND over the
+    * union — an expanded term scores exactly as if the user had typed it,
+    * weighted by the wildcard token's occurrence count. The dictionary
+    * scan pushes a StringStartsWith predicate to the termstats parquet
+    * (never a corpus touch), and the expansion is capped at
+    * [[PrefixExpansionCap]] in ascending term order.
+    */
+  def prefixTopK(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      query: String,
+      k: Int,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: Array[Long] = Array.emptyLongArray
+  ): DataFrame = {
+    import spark.implicits._
+    val (literal, prefixes) = parsePrefixQuery(query, cfg)
+    if (literal.isEmpty && prefixes.isEmpty) return emptyScores(spark)
+    val expanded: Seq[(String, Int)] = prefixes.flatMap { case (p, qtf) =>
+      termStats.filter($"term".startsWith(p))
+        .orderBy($"term").limit(PrefixExpansionCap)
+        .collect().map(t => t.term -> qtf)
+    }
+    // one weight per distinct term: literal + expansion occurrences sum
+    val combined: Seq[(String, Int)] = (literal ++ expanded)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    if (combined.isEmpty) return emptyScores(spark)
+    val q = combined.map { case (t, n) => Seq.fill(n)(t) }.flatten.mkString(" ")
+    // delegate to WAND: analyzeQuery over the synthesized token stream
+    // reproduces exactly the combined (term, qtf) weights
+    wandTopK(spark, blocks, termStats, corpus, q, k, cfg, tombstones)
+  }
+
   /** Minimum-should-match top-k (Lucene BooleanQuery.minimumShouldMatch):
     * documents containing at least `m` of the query's distinct analyzed
     * terms qualify, ranked by BM25 over the terms they contain. m = 1 is

@@ -138,6 +138,29 @@ class BooleanQuerySpec extends AnyFunSuite {
       msmTop(idx, "term0000 term0001 term0002", 3, 10))
   }
 
+  test("prefix queries: dictionary expansion == WAND over the expanded terms") {
+    val turns = TranscriptGen.turns(seed = 96, nConvs = 30)
+    val idx = buildIndex(turns, "graft-prefix")
+    val c = OracleBM25.corpus(turns, cfg.analyzer)
+    // term000* expands to term0000..term0009 (whichever exist)
+    val expanded = c.postings.keys.filter(_.startsWith("term000")).toSeq.sorted
+    assert(expanded.size > 1, "vacuous prefix fixture")
+    val viaPrefix = QueryEngine.prefixTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "term000* term0042", 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaWand = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, (expanded :+ "term0042").mkString(" "), 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaPrefix == viaWand,
+      "prefix expansion must score exactly like typing the expansions")
+    assert(viaPrefix.nonEmpty)
+    // a prefix matching nothing contributes nothing; all-miss query is empty
+    assert(QueryEngine.prefixTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "zzznope* term0042", 10, cfg).collect().nonEmpty)
+    assert(QueryEngine.prefixTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "zzznope*", 10, cfg).collect().isEmpty)
+  }
+
   /** Scalar slop oracle: brute-force chain existence (DFS, not greedy —
     * deliberately a different algorithm from the engine's greedy
     * completion) per start position over the filtered token stream.
