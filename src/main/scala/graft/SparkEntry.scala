@@ -207,6 +207,16 @@ object SparkEntry {
     */
   private[graft] val prefixQuery: String = "dat* join"
 
+  /** Unified search-box fixtures (query text, minShouldMatch) — each mixes
+    * several features so they exercise [[QueryEngine.composedTopK]], the
+    * path no dedicated API covers: slop phrase + exclusion + free terms;
+    * wildcard + phrase + free term; phrase + minimum-should-match.
+    */
+  private[graft] val mixedSet: Seq[(String, (String, Int))] = Seq(
+    "q1" -> (("query \"data stream\"~2 -batch join", 1)),
+    "q2" -> (("dat* \"fast table\" join", 1)),
+    "q3" -> (("spark join data \"fast table\"", 3)))
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -241,7 +251,7 @@ object SparkEntry {
   private[graft] def bm25Wand(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
-      q, WandFetchK, cfg, idx.tombstoneIds)
+      q, WandFetchK, cfg, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -254,7 +264,7 @@ object SparkEntry {
   private[graft] def bm25Serving(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus, q, k,
-      cfg, idx.tombstoneIds)
+      cfg, idx.tombstoneSet)
     val w = Window.orderBy(col("score").desc, col("docId").asc)
     top.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("docId").as("doc_id"), round(col("score"), 4).as("score"))
@@ -266,7 +276,7 @@ object SparkEntry {
   private[graft] def bm25Phrase(s: SparkSession, dir: String, phrase: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase, WandFetchK,
-      cfg, 0, idx.tombstoneIds)
+      cfg, 0, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -275,7 +285,7 @@ object SparkEntry {
       terms: String, phrase: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.phraseFilterRank(s, idx.blocks, idx.termStats,
-      idx.corpus, terms, phrase, WandFetchK, cfg, idx.tombstoneIds)
+      idx.corpus, terms, phrase, WandFetchK, cfg, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -285,7 +295,7 @@ object SparkEntry {
   private[graft] def bm25Deleted(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = lifecycleIndex(s, dir)
     val top = QueryEngine.wandTopK(s, idx.blocks, idx.termStats, idx.corpus,
-      q, WandFetchK, cfg, idx.tombstoneIds)
+      q, WandFetchK, cfg, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -293,7 +303,7 @@ object SparkEntry {
   private[graft] def bm25Prefix(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.prefixTopK(s, idx.blocks, idx.termStats,
-      idx.corpus, q, WandFetchK, cfg, idx.tombstoneIds)
+      idx.corpus, q, WandFetchK, cfg, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -301,7 +311,7 @@ object SparkEntry {
   private[graft] def bm25Msm(s: SparkSession, dir: String, q: String, m: Int, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.minShouldMatchTopK(s, idx.blocks, idx.termStats,
-      idx.corpus, q, m, WandFetchK, cfg, idx.tombstoneIds)
+      idx.corpus, q, m, WandFetchK, cfg, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -309,7 +319,18 @@ object SparkEntry {
   private[graft] def bm25And(s: SparkSession, dir: String, q: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.conjunctiveTopK(s, idx.blocks, idx.termStats,
-      idx.corpus, q, WandFetchK, cfg, idx.tombstoneIds)
+      idx.corpus, q, WandFetchK, cfg, idx.tombstoneSet)
+    finish(top, idx.docs, k)
+  }
+
+  /** The unified search box ([[QueryEngine.search]]): full grammar in one
+    * string, routed onto the dedicated scorers or the composed plan.
+    */
+  private[graft] def bm25Search(s: SparkSession, dir: String, q: String,
+      m: Int = 1, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.search(s, idx.blocks, idx.termStats, idx.corpus,
+      q, WandFetchK, m, cfg, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -318,7 +339,7 @@ object SparkEntry {
       phrase: String, slop: Int, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.phraseTopK(s, idx.blocks, idx.corpus, phrase,
-      WandFetchK, cfg, slop, idx.tombstoneIds)
+      WandFetchK, cfg, slop, idx.tombstoneSet)
     finish(top, idx.docs, k)
   }
 
@@ -328,7 +349,7 @@ object SparkEntry {
   private[graft] def bm25Batch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.wandTopKBatch(s, idx.blocks, idx.termStats, idx.corpus,
-      querySet, WandFetchK, cfg, idx.tombstoneIds)
+      querySet, WandFetchK, cfg, idx.tombstoneSet)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("docId").asc)
     top.withColumn("score", round(col("score"), 4))
       .withColumn("rank", row_number().over(w).cast("int"))
@@ -439,10 +460,13 @@ object SparkEntry {
         bm25Msm(s, dir, msmQuery._1, msmQuery._2)),
       "bm25_prefix_q1" -> ((s: SparkSession, dir: String) =>
         bm25Prefix(s, dir, prefixQuery)))
+    val searchQs = mixedSet.map { case (qid, (text, m)) =>
+      s"bm25_mixed_$qid" -> ((s: SparkSession, dir: String) => bm25Search(s, dir, text, m))
+    }
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
-      slopQ ++ msmQ ++ batchQ
+      slopQ ++ msmQ ++ searchQs ++ batchQ
   }
 
   // -------------------------------------------------------- oracle SQL
@@ -660,23 +684,96 @@ object SparkEntry {
        |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
   }
 
+  /** Unified search-box oracle — the composition of the per-feature oracle
+    * pieces, mirroring [[QueryEngine.search]]'s general path
+    * ([[QueryEngine.composedTopK]]): every quoted phrase filters (its
+    * adjacency/slop CTEs under a per-phrase suffix), exclusions drop
+    * candidate docs, minimum-should-match gates on the per-doc
+    * distinct-matched-term count, and ranking is the standard BM25 fold
+    * over the positive terms (free + phrase words + wildcard expansions).
+    * Parsing is [[QueryEngine.parseQuery]] on BOTH sides.
+    */
+  private def composedOracleSql(query: String, m: Int): String = {
+    val pq = QueryEngine.parseQuery(query)
+    val phraseTerms = pq.phrases.map { case (ph, slop) =>
+      (Analyzer.tokenize(ph, cfg.analyzer), slop)
+    }
+    // mirror the engine: an all-stopword phrase can never match
+    if (phraseTerms.exists(_._1.isEmpty))
+      return s"""WITH $cteTranscripts,
+                |$cteDocs
+                |SELECT CAST(0 AS INT) AS rank, doc_id, CAST(0.0 AS DOUBLE) AS score,
+                |       conv_id, turn_idx, text
+                |FROM docs WHERE false""".stripMargin
+    val stems = QueryEngine.analyzePrefixStems(pq.prefixes.map(_.dropRight(1)))
+    val literal = Analyzer.analyzeQuery(
+      (pq.free ++ pq.phrases.map(_._1)).mkString(" "), cfg.analyzer)
+    val excl = pq.excluded.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
+    val litSelect =
+      if (literal.isEmpty) Nil
+      else Seq("SELECT * FROM (VALUES " +
+        literal.map { case (t, n) => s"('$t', $n)" }.mkString(", ") + ") v(term, qtf)")
+    val expSelects = stems.map { case (p, n) =>
+      s"""SELECT term, $n AS qtf FROM (
+         |    SELECT term FROM tstat WHERE term LIKE '$p%'
+         |    ORDER BY term LIMIT ${QueryEngine.PrefixExpansionCap})""".stripMargin
+    }
+    val qBody = (litSelect ++ expSelects).mkString("\n  UNION ALL ")
+    val phraseCtes = phraseTerms.zipWithIndex.map { case ((terms, slop), i) =>
+      if (slop == 0) phraseMatchCtes(terms, s"_$i")
+      else phraseSlopMatchCtes(terms, slop, s"_$i")
+    }.mkString(",\n")
+    val phrasePreds = phraseTerms.indices
+      .map(i => s"\n    AND p.doc_id IN (SELECT doc_id FROM mm_$i)").mkString
+    val exclPred =
+      if (excl.isEmpty) ""
+      else "\n    AND p.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN (" +
+        excl.map(t => s"'$t'").mkString(", ") + "))"
+    val k1 = cfg.params.k1
+    val b = cfg.params.b
+    s"""WITH $cteTranscripts,
+       |$cteDocs,
+       |$cteTokens,
+       |$ctePosToks,
+       |$phraseCtes,
+       |q AS (SELECT term, CAST(SUM(qtf) AS INT) AS qtf FROM (
+       |  $qBody
+       |) GROUP BY 1),
+       |mset AS (SELECT p.doc_id FROM post p JOIN q USING (term)
+       |      GROUP BY 1 HAVING count(DISTINCT p.term) >= $m),
+       |contrib AS (
+       |  SELECT p.doc_id,
+       |         q.qtf * ln((c.n + 1.0) / (t.df + 1.0)) *
+       |         (p.tf * ($k1 + 1.0) / (p.tf + $k1 * (1.0 - $b + $b * d.dl / c.avgdl))) AS x
+       |  FROM post p
+       |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
+       |  CROSS JOIN corpus c
+       |  WHERE p.doc_id IN (SELECT doc_id FROM mset)$phrasePreds$exclPred),
+       |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
+       |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
+       |FROM scores s JOIN docs d USING (doc_id)
+       |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin
+  }
+
   /** Slop-phrase match CTEs: mm(doc_id, tfp) where tfp counts start
     * positions with a strictly increasing chain of the terms whose span is
     * <= (n-1)+slop. The per-step bound `p_j <= start + j + slop` is implied
     * by the final-span bound, so adding it changes nothing semantically —
     * it just keeps the join fan-out linear in slop.
     */
-  private def phraseSlopMatchCtes(terms: Seq[String], slop: Int): String = {
+  private def phraseSlopMatchCtes(terms: Seq[String], slop: Int,
+      sfx: String = ""): String = {
     val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
-      val prev = if (j == 1) "m0.fpos" else s"p${j - 1}.fpos"
-      s"JOIN ptoks p$j ON p$j.doc_id = m0.doc_id AND p$j.term = '$t' " +
-        s"AND p$j.fpos > $prev AND p$j.fpos <= m0.fpos + ${j + slop}"
+      val prev = if (j == 1) s"m0$sfx.fpos" else s"p${j - 1}.fpos"
+      s"JOIN ptoks p$j ON p$j.doc_id = m0$sfx.doc_id AND p$j.term = '$t' " +
+        s"AND p$j.fpos > $prev AND p$j.fpos <= m0$sfx.fpos + ${j + slop}"
     }.mkString("\n       ")
-    s"""m0 AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
-       |cand AS (SELECT DISTINCT m0.doc_id, m0.fpos
-       |       FROM m0
+    s"""m0$sfx AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
+       |cand$sfx AS (SELECT DISTINCT m0$sfx.doc_id, m0$sfx.fpos
+       |       FROM m0$sfx
        |       $joins),
-       |mm AS (SELECT doc_id, count(*) AS tfp FROM cand GROUP BY 1)""".stripMargin
+       |mm$sfx AS (SELECT doc_id, count(*) AS tfp FROM cand$sfx GROUP BY 1)""".stripMargin
   }
 
   /** Proximity-phrase BM25 oracle — [[phraseOracleSql]] with the slop
@@ -721,13 +818,13 @@ object SparkEntry {
   /** Phrase adjacency-match CTEs: mm(doc_id, tfp) for the given token
     * sequence over the filtered positions (`ptoks` must be in scope).
     */
-  private def phraseMatchCtes(terms: Seq[String]): String = {
+  private def phraseMatchCtes(terms: Seq[String], sfx: String = ""): String = {
     val joins = terms.zipWithIndex.drop(1).map { case (t, j) =>
-      s"JOIN ptoks p$j ON p$j.doc_id = m0.doc_id AND p$j.term = '$t' AND p$j.fpos = m0.fpos + $j"
+      s"JOIN ptoks p$j ON p$j.doc_id = m0$sfx.doc_id AND p$j.term = '$t' AND p$j.fpos = m0$sfx.fpos + $j"
     }.mkString("\n       ")
-    s"""m0 AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
-       |mm AS (SELECT m0.doc_id, count(*) AS tfp
-       |       FROM m0
+    s"""m0$sfx AS (SELECT doc_id, fpos FROM ptoks WHERE term = '${terms.head}'),
+       |mm$sfx AS (SELECT m0$sfx.doc_id, count(*) AS tfp
+       |       FROM m0$sfx
        |       $joins
        |       GROUP BY 1)""".stripMargin
   }
@@ -881,11 +978,14 @@ object SparkEntry {
     val msmQ = Map(
       "bm25_msm_q1" -> bm25MsmOracleSql(msmQuery._1, msmQuery._2),
       "bm25_prefix_q1" -> bm25PrefixOracleSql(prefixQuery))
+    val searchQs = mixedSet.map { case (qid, (text, m)) =>
+      s"bm25_mixed_$qid" -> composedOracleSql(text, m)
+    }
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
       }.mkString("\nUNION ALL\n"))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
-      lifecycleOracles ++ slopQ ++ msmQ ++ batchOracle
+      lifecycleOracles ++ slopQ ++ msmQ ++ searchQs ++ batchOracle
   }
 }

@@ -615,23 +615,20 @@ object IndexStore {
           b0.map(_.checksum).getOrElse(0L) + d.map(_.checksum).getOrElse(0L))
       }
     val perShard = mergedLineage.map(_.postings.toDouble)
-    val droppedHistory = (base.history.size + 1 - SnapshotHistoryCap).max(0)
+    val (newHistory, historyMetric) = advanceHistory(dir, base, snapshotId)
     val m = Manifest(snapshotId, cfg.analyzer.fingerprint, cfg.params.k1,
       cfg.params.b, base.numShards, base.shardSize, cfg.blockSize,
       nNew, avgdlNew, mergedLineage,
-      base.metrics ++ Map(
+      base.metrics ++ historyMetric ++ Map(
         "appendedTurns" -> p0.n.toDouble,
         "dirGen" -> gen.toDouble,
-        // ids silently dropped from the idempotence history (see below)
-        "historyDropped" ->
-          (base.metrics.getOrElse("historyDropped", 0.0) + droppedHistory),
         "skewRatio" -> (if (perShard.isEmpty) 1.0
           else perShard.max / (perShard.sum / perShard.size))),
       blockDirs = if (hasBlocks) base.blockDirs :+ deltaBlocksDir else base.blockDirs,
       docDirs = base.docDirs :+ deltaDocsDir,
       termstatsDir = tsDirFinal,
       complete = true,
-      history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
+      history = newHistory,
       positional = base.positional,
       nextDocId = base.nextDocId + p0.n,
       tombstoneDirs = base.tombstoneDirs,
@@ -641,12 +638,6 @@ object IndexStore {
         d.nonEmpty && d != tsDirFinal))
     if (failBeforeCommit)
       throw new RuntimeException("injected failure before append commit")
-    // the history cap silently forgets old snapshot ids: a checkpoint-less
-    // restart replaying one of them would duplicate data with no error.
-    // Surface it loudly (metric above + warning) instead of silently.
-    if (droppedHistory > 0)
-      System.err.println(s"[graft] WARNING: snapshot history at $dir truncated " +
-        s"(cap $SnapshotHistoryCap); replays of dropped ids are no longer idempotent")
     writeManifest(dir, m) // THE commit point
     // post-commit cleanup: dirs whose grace window ENDED with this commit
     base.graceDirs.filterNot(d => m.graceDirs.contains(d)).foreach(d =>
@@ -656,16 +647,39 @@ object IndexStore {
     BuildResult(m, dir)
   }
 
+  /** Advance the committed-id idempotence history under the cap — ONE
+    * definition for every committing path (append, delete, and anything
+    * future), so the `historyDropped` metric and the loud truncation
+    * warning can never drift between them (round 4 had them on the append
+    * path only). The cap silently forgets old snapshot ids: a
+    * checkpoint-less restart replaying one of them would duplicate (or
+    * re-delete) data with no error — hence metric + warning, not silence.
+    * Returns (new history, metrics delta).
+    */
+  private def advanceHistory(dir: String, base: Manifest,
+      snapshotId: String): (Seq[String], Map[String, Double]) = {
+    val dropped = (base.history.size + 1 - SnapshotHistoryCap).max(0)
+    if (dropped > 0)
+      System.err.println(s"[graft] WARNING: snapshot history at $dir truncated " +
+        s"(cap $SnapshotHistoryCap); replays of dropped ids are no longer idempotent")
+    ((base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
+      Map("historyDropped" ->
+        (base.metrics.getOrElse("historyDropped", 0.0) + dropped)))
+  }
+
   // ---------------------------------------------------------------- delete
 
-  /** Max tombstoned docIds a loaded index will collect/broadcast to the
-    * scorers (8 B/id → ~80 MB at the cap). An index carrying more deletes
-    * than this between compactions refuses to load with a compact-first
-    * message rather than silently stressing the driver; a production
-    * extension would swap the sorted array for per-shard roaring bitmaps,
-    * with the same manifest contract.
+  /** Max tombstoned docIds an index may carry between compactions,
+    * enforced at delete time AND at load. The scan-side structure is the
+    * paged bitmap/sorted-shorts [[TombstoneSet]] (<= 2 B/id sparse, 8 KiB
+    * per dense 64Ki-id page — round 4's flat sorted Array[Long] cost
+    * 8 B/id, which is why its cap sat at 10M), built distributively and
+    * broadcast once per loaded index, so the cap is bounded by executor
+    * broadcast memory (~200 MB worst-case sparse at 100M), not by a
+    * driver collect. Beyond it the index refuses with a compact-first
+    * message rather than melting.
     */
-  val TombstoneCap = 10000000L
+  val TombstoneCap = 100000000L
 
   /** Delete documents from a live index — the missing half of incremental:
     * a training-data pipeline dedups and redacts continuously (e.g. the
@@ -787,17 +801,18 @@ object IndexStore {
       if (hasTs)
         survivingTs.write.mode("overwrite").option("compression", IndexCodec).parquet(s"$dir/$tsDir")
 
+      val (newHistory, historyMetric) = advanceHistory(dir, base, snapshotId)
       val m = base.copy(
         snapshotId = snapshotId,
         docCount = nNew,
         avgdl = avgdlNew,
         termstatsDir = tsDirFinal,
         tombstoneDirs = Seq(tombDir),
-        metrics = base.metrics ++ Map(
+        metrics = base.metrics ++ historyMetric ++ Map(
           "dirGen" -> gen.toDouble,
           "tombstones" -> nTombs.toDouble,
           "deletedTurns" -> nDrop.toDouble),
-        history = (base.history :+ snapshotId).takeRight(SnapshotHistoryCap),
+        history = newHistory,
         graceDirs = (base.tombstoneDirs :+ base.termstatsDir)
           .filter(d => d.nonEmpty && d != tsDirFinal))
       if (failBeforeCommit)
@@ -1014,11 +1029,39 @@ object IndexStore {
       docs: Dataset[Doc], // the LIVE view: tombstoned docs filtered out
       termStats: Dataset[TermStat],
       tombstones: DataFrame, // (docId) — empty when the index has no deletes
-      // the same ids as a sorted array for the block scorers (collected at
-      // load; size bounded by TombstoneCap — deleteDocs enforces it)
-      tombstoneIds: Array[Long]
+      // the same ids as a paged bitmap/sorted-shorts set for the block
+      // scorers, built DISTRIBUTIVELY at load (the driver never holds the
+      // flat 8 B/id array) and broadcast once per index per session; size
+      // bounded by TombstoneCap, enforced at delete time AND at load
+      tombstoneSet: TombstoneSet
   ) {
     def corpus: CorpusStats = CorpusStats(manifest.docCount, manifest.avgdl)
+
+    /** Fail fast when this handle has outlived the one-commit grace
+      * window. The contract: a commit keeps the dirs it supersedes on
+      * disk until the NEXT commit, so a reader that re-loads at least
+      * once per commit never hits missing files — but a slow reader that
+      * misses one reload while TWO commits land would die mid-scan with a
+      * bare FileNotFoundException. This turns that into a clear
+      * diagnosis: the handle is servable iff every dir its plans
+      * reference is still live in (or grace-protected by) the current
+      * on-disk manifest — an exact check that works identically across
+      * append, delete and compact commits. Serving loops call it before
+      * a query burst; it is one small-file read, no Spark job.
+      */
+    def requireServable(): Unit = {
+      val cur = readManifest(dir).getOrElse(throw new IllegalStateException(
+        s"index at $dir has no manifest (deleted?) — reload"))
+      val protectedDirs = (cur.blockDirs ++ cur.docDirs ++ cur.tombstoneDirs ++
+        cur.graceDirs :+ cur.termstatsDir).toSet
+      val mine = (manifest.blockDirs ++ manifest.docDirs ++
+        manifest.tombstoneDirs :+ manifest.termstatsDir).filter(_.nonEmpty)
+      val lost = mine.filterNot(protectedDirs.contains)
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"stale index handle: loaded at '${manifest.snapshotId}' but $dir is now " +
+          s"at '${cur.snapshotId}' and no longer protects ${lost.mkString(", ")} " +
+          "(the grace window is one commit deep) — reload the index")
+    }
   }
 
   def load(spark: SparkSession, dir: String): Index = {
@@ -1048,18 +1091,24 @@ object IndexStore {
       if (m.tombstoneDirs.isEmpty) spark.emptyDataset[Long].toDF("docId")
       else m.tombstoneDirs.map(d => spark.read.parquet(s"$dir/$d"))
         .reduce(_.unionByName(_))
-    val tombstoneIds: Array[Long] =
-      if (m.tombstoneDirs.isEmpty) Array.emptyLongArray
-      else tombstones.orderBy($"docId").as[Long].collect()
+    val tombstoneSet: TombstoneSet =
+      if (m.tombstoneDirs.isEmpty) TombstoneSet.empty
+      else TombstoneSet.fromDF(tombstones)
+    // deleteDocs enforces the cap at write time, but a manifest written by
+    // another writer (or a future engine version) could exceed it: refuse
+    // here too rather than silently stressing every query's broadcast
+    require(tombstoneSet.size <= TombstoneCap,
+      s"index at $dir carries ${tombstoneSet.size} tombstones " +
+        s"(> TombstoneCap=$TombstoneCap) — compact it before serving")
     // the live docs view: deletes are invisible to every consumer (the
     // tiny tombstone relation broadcasts into the anti join)
     val docs =
-      if (tombstoneIds.isEmpty) rawDocs
+      if (tombstoneSet.isEmpty) rawDocs
       else rawDocs.toDF()
         .join(broadcast(tombstones), Seq("docId"), "left_anti").as[Doc]
     val termStats =
       if (m.termstatsDir.isEmpty) spark.emptyDataset[TermStat]
       else spark.read.parquet(s"$dir/${m.termstatsDir}").as[TermStat]
-    Index(dir, m, blocks, docs, termStats, tombstones, tombstoneIds)
+    Index(dir, m, blocks, docs, termStats, tombstones, tombstoneSet)
   }
 }

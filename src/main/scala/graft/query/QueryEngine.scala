@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Analyzer
-import graft.index.{Codec, IndexBuilder}
+import graft.index.{Codec, IndexBuilder, TombstoneSet}
 import graft.model._
 
 /** Top-k BM25 query engine. Two exact, rank-identical paths:
@@ -125,7 +125,7 @@ object QueryEngine {
       query: String,
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
     val analyzed = Analyzer.analyzeQuery(query, cfg.analyzer)
@@ -144,7 +144,7 @@ object QueryEngine {
     val avgdl = corpus.avgdl
     val kk = k
     val qtsB = spark.sparkContext.broadcast(qts.sortBy(_.term))
-    val tsB = spark.sparkContext.broadcast(tombstones)
+    val tsB = tombstones.broadcastVia(spark)
 
     // one task per core, several shards per task (scorePartition iterates
     // shard groups); range partitioning keeps a shard's blocks together
@@ -181,7 +181,7 @@ object QueryEngine {
       queries: Seq[(String, String)],
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
     def empty: DataFrame =
@@ -205,7 +205,7 @@ object QueryEngine {
     val avgdl = corpus.avgdl
     val kk = k
     val qB = spark.sparkContext.broadcast(perQuery)
-    val tsB = spark.sparkContext.broadcast(tombstones)
+    val tsB = tombstones.broadcastVia(spark)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     val candidates = scoringBlocks(blocks)
@@ -312,7 +312,7 @@ object QueryEngine {
       query: String,
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
     val (posText, negRaw) = parseBoolean(query)
@@ -337,7 +337,7 @@ object QueryEngine {
     val kk = k
     val qtsB = spark.sparkContext.broadcast(qts)
     val exclB = spark.sparkContext.broadcast(excl)
-    val tsB = spark.sparkContext.broadcast(tombstones)
+    val tsB = tombstones.broadcastVia(spark)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     scoringBlocks(blocks)
@@ -364,10 +364,45 @@ object QueryEngine {
     val rawTokens = query.split("\\s+").toSeq.filter(_.nonEmpty)
     val (wild, plain) = rawTokens.partition(t => t.length > 1 && t.endsWith("*"))
     val literal = Analyzer.analyzeQuery(plain.mkString(" "), cfg.analyzer)
-    val prefixes = wild
-      .flatMap(t => Analyzer.tokenize(t.dropRight(1), cfg.analyzer).lastOption)
+    (literal, analyzePrefixStems(wild.map(_.dropRight(1))))
+  }
+
+  /** Wildcard stems analyze WITHOUT the stopword filter: Lucene expands a
+    * prefix regardless of what it spells, so `the*` must scan the
+    * dictionary (which never contains stopwords — the expansion is still
+    * exact) instead of silently matching nothing because the stem itself
+    * is a stopword. A multi-word-run stem keeps its last run (`foo-bar*`
+    * prefixes on `bar`).
+    */
+  private[graft] def analyzePrefixStems(stems: Seq[String]): Seq[(String, Int)] =
+    stems
+      .flatMap(t => Analyzer.tokenize(t, Analyzer.noStopwords).lastOption)
       .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
-    (literal, prefixes)
+
+  /** Expand trailing-`*` stems against the term dictionary in ONE Spark
+    * job — a union of per-prefix capped scans, each with its
+    * StringStartsWith predicate pushed to the termstats parquet (round 4
+    * issued one collect per wildcard token, paying the scheduler floor per
+    * token). The [[PrefixExpansionCap]] applies per prefix in ascending
+    * term order, exactly as before.
+    */
+  private def expandPrefixes(
+      spark: SparkSession,
+      termStats: Dataset[TermStat],
+      prefixes: Seq[(String, Int)]): Seq[(String, Int)] = {
+    import spark.implicits._
+    if (prefixes.isEmpty) return Nil
+    val scans = prefixes.map { case (p, _) =>
+      termStats.filter($"term".startsWith(p)).select($"term")
+        .orderBy($"term").limit(PrefixExpansionCap)
+        .withColumn("pfx", lit(p))
+    }
+    val rows = scans.reduce(_ unionByName _).collect()
+    val byPfx = rows.groupBy(_.getString(1))
+    prefixes.flatMap { case (p, qtf) =>
+      byPfx.getOrElse(p, Array.empty[org.apache.spark.sql.Row])
+        .map(_.getString(0) -> qtf)
+    }
   }
 
   /** Max dictionary terms a single trailing-`*` token may expand to —
@@ -394,16 +429,12 @@ object QueryEngine {
       query: String,
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
     val (literal, prefixes) = parsePrefixQuery(query, cfg)
     if (literal.isEmpty && prefixes.isEmpty) return emptyScores(spark)
-    val expanded: Seq[(String, Int)] = prefixes.flatMap { case (p, qtf) =>
-      termStats.filter($"term".startsWith(p))
-        .orderBy($"term").limit(PrefixExpansionCap)
-        .collect().map(t => t.term -> qtf)
-    }
+    val expanded: Seq[(String, Int)] = expandPrefixes(spark, termStats, prefixes)
     // one weight per distinct term: literal + expansion occurrences sum
     val combined: Seq[(String, Int)] = (literal ++ expanded)
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
@@ -438,36 +469,43 @@ object QueryEngine {
       m: Int,
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty,
+      excluded: Seq[String] = Nil
   ): DataFrame = {
     import spark.implicits._
     require(m >= 1, s"minimumShouldMatch must be >= 1, got $m")
     val analyzed = Analyzer.analyzeQuery(query, cfg.analyzer)
     if (analyzed.isEmpty) return emptyScores(spark)
+    val negTerms = excluded.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
+    val allNames = (analyzed.map(_._1) ++ negTerms).distinct
     val idfs: Map[String, Double] = termStats
-      .filter($"term".isin(analyzed.map(_._1): _*))
+      .filter($"term".isin(allNames: _*))
       .collect().map(t => t.term -> t.idf).toMap
     val qts = analyzed.collect {
       case (t, qtf) if idfs.contains(t) => QTerm(t, qtf * idfs(t))
     }.sortBy(_.term)
     // fewer live terms than m => no document can reach the threshold
     if (qts.size < m) return emptyScores(spark)
+    // an excluded term with no postings excludes nothing
+    val excl = negTerms.filter(idfs.contains)
+    val scanNames = (qts.map(_.term) ++ excl).distinct
 
     val p = cfg.params
     val avgdl = corpus.avgdl
     val kk = k
     val mm = m
     val qtsB = spark.sparkContext.broadcast(qts)
-    val tsB = spark.sparkContext.broadcast(tombstones)
+    val exclB = spark.sparkContext.broadcast(excl)
+    val tsB = tombstones.broadcastVia(spark)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     scoringBlocks(blocks)
-      .filter($"term".isin(qts.map(_.term): _*))
+      .filter($"term".isin(scanNames: _*))
       .repartitionByRange(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
-        MsmScorer.scorePartition(it.buffered, qtsB.value, mm, kk, p.k1, p.b,
-          avgdl, tsB.value)
+        MsmScorer.scorePartition(it.buffered, qtsB.value, exclB.value, mm, kk,
+          p.k1, p.b, avgdl, tsB.value)
       }
       .toDF("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
@@ -482,10 +520,11 @@ object QueryEngine {
     def scorePartition(
         it: BufferedIterator[PostingBlock],
         qts: Seq[QTerm],
+        excluded: Seq[String],
         m: Int,
         k: Int,
         k1: Double, b: Double, avgdl: Double,
-        tombstones: Array[Long]
+        tombstones: TombstoneSet
     ): Iterator[(Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       while (it.hasNext) {
@@ -496,13 +535,15 @@ object QueryEngine {
           byTerm.get(q.term).map(bs =>
             new Cursor(q.term, q.weight, bs.sortBy(_.minDocId).toArray, k1, b, avgdl))
         }.toArray
-        if (cursors.length >= m) out ++= mergeShard(cursors, m, k, tombstones)
+        val not = excluded.flatMap(t => byTerm.get(t).map(bs =>
+          new Cursor(t, 0.0, bs.sortBy(_.minDocId).toArray, k1, b, avgdl))).toArray
+        if (cursors.length >= m) out ++= mergeShard(cursors, not, m, k, tombstones)
       }
       out.iterator
     }
 
-    private def mergeShard(cursors: Array[Cursor], m: Int, k: Int,
-        tombstones: Array[Long]): Seq[(Long, Double)] = {
+    private def mergeShard(cursors: Array[Cursor], not: Array[Cursor], m: Int,
+        k: Int, tombstones: TombstoneSet): Seq[(Long, Double)] = {
       val heap = new TopKHeap(k)
       var liveCount = cursors.count(!_.exhausted)
       while (liveCount >= m) {
@@ -515,8 +556,7 @@ object QueryEngine {
           i += 1
         }
         // count + score the cursors sitting on it (ascending term order)
-        val dead = tombstones.length > 0 &&
-          java.util.Arrays.binarySearch(tombstones, minDoc) >= 0
+        var dead = tombstones.contains(minDoc)
         var matched = 0
         var score = 0.0
         var j = 0
@@ -526,6 +566,18 @@ object QueryEngine {
             if (!dead) score += cursors(j).currentContribution()
           }
           j += 1
+        }
+        // exclusion cursors skip forward lazily: minDoc is monotone within
+        // a shard, so each advanceTo is amortized over the merge
+        if (!dead && matched >= m) {
+          var x = 0
+          while (x < not.length && !dead) {
+            if (!not(x).exhausted) {
+              not(x).advanceTo(minDoc)
+              if (!not(x).exhausted && not(x).curDoc == minDoc) dead = true
+            }
+            x += 1
+          }
         }
         if (!dead && matched >= m) heap.offer(minDoc, score)
         var a = 0
@@ -550,7 +602,7 @@ object QueryEngine {
         excluded: Seq[String],
         k: Int,
         k1: Double, b: Double, avgdl: Double,
-        tombstones: Array[Long] = Array.emptyLongArray
+        tombstones: TombstoneSet = TombstoneSet.empty
     ): Iterator[(Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
       while (it.hasNext) {
@@ -574,7 +626,7 @@ object QueryEngine {
       * global tie-break (score desc, docId asc).
       */
     private def intersectShard(req: Array[Cursor], not: Array[Cursor],
-        k: Int, tombstones: Array[Long]): Seq[(Long, Double)] = {
+        k: Int, tombstones: TombstoneSet): Seq[(Long, Double)] = {
       val heap = new TopKHeap(k)
       var done = false
       while (!done) {
@@ -597,8 +649,7 @@ object QueryEngine {
             j += 1
           }
           if (!done && aligned) {
-            var dropped = tombstones.length > 0 &&
-              java.util.Arrays.binarySearch(tombstones, target) >= 0
+            var dropped = tombstones.contains(target)
             var x = 0
             while (x < not.length && !dropped) {
               if (!not(x).exhausted) {
@@ -624,6 +675,210 @@ object QueryEngine {
       }
       heap.drain()
     }
+  }
+
+  // ------------------------------------------------- unified search box
+
+  /** A parsed search-box query: quoted phrases (optional `~slop` suffix),
+    * `-`-prefixed exclusions, trailing-`*` prefix wildcards, plain free
+    * terms — the one-text-field serving grammar the reference exposes
+    * (/root/reference/api/combined.py:159; App.js search box), which
+    * round 4 served through seven separate APIs.
+    */
+  final case class ParsedQuery(
+      free: Seq[String],
+      phrases: Seq[(String, Int)],
+      excluded: Seq[String],
+      prefixes: Seq[String])
+
+  private val PhraseRe = """"([^"]*)"(?:~(\d+))?""".r
+
+  /** Parse the search-box grammar. Quoted segments become phrases (an
+    * empty or blank quote is dropped); of the remaining whitespace tokens,
+    * `-tok` excludes, `tok*` is a prefix wildcard, anything else is a free
+    * term. A stray unmatched quote is treated as whitespace.
+    */
+  def parseQuery(query: String): ParsedQuery = {
+    val phrases = PhraseRe.findAllMatchIn(query).map { mm =>
+      (mm.group(1), Option(mm.group(2)).map(_.toInt).getOrElse(0))
+    }.filter(_._1.trim.nonEmpty).toSeq
+    val rest = PhraseRe.replaceAllIn(query, " ").replace("\"", " ")
+    val toks = rest.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (neg, pos) = toks.partition(t => t.length > 1 && t.startsWith("-"))
+    val (wild, plain) = pos.partition(t => t.length > 1 && t.endsWith("*"))
+    ParsedQuery(plain, phrases, neg.map(_.drop(1)), wild)
+  }
+
+  /** The unified serving entry point: one call accepting the full
+    * search-box grammar — `spark join "data stream"~2 dat* -flink` — plus
+    * an optional minimum-should-match.
+    *
+    * Semantics: a document matches iff it contains every quoted phrase
+    * (within that phrase's slop), contains none of the excluded terms, and
+    * contains at least `minShouldMatch` of the DISTINCT positive terms
+    * (free terms + phrase words + wildcard expansions). Ranking is BM25
+    * over the positive terms the document contains. One scoring exception,
+    * Lucene-faithful: a LONE quoted phrase (nothing else in the box) keeps
+    * PhraseQuery scoring — the phrase as a single term (tf = occurrence
+    * count, idf over the phrase df) — exactly [[phraseTopK]].
+    *
+    * Routing (each single-feature query runs the scorer it always had —
+    * property-tested identical in SearchSpec):
+    *   - plain terms, m=1            → [[wandTopK]] (block-max WAND)
+    *   - plain terms, m=n (or -term) → [[conjunctiveTopK]] (leapfrog AND)
+    *   - plain terms, 1<m<n          → [[minShouldMatchTopK]]
+    *   - `tok*` anywhere             → dictionary expansion (one capped,
+    *                                   predicate-pushed scan) into the above
+    *   - lone `"phrase"~s`           → [[phraseTopK]]
+    *   - `"phrase"` + free terms     → [[phraseFilterRank]]
+    *   - any other mix               → [[composedTopK]] (phrase survivors
+    *                                   semi-join-prune the term postings;
+    *                                   exclusions anti-join; msm on the
+    *                                   per-doc distinct-match count)
+    * Every route is bounded by the query terms' postings — never a corpus
+    * scan — and the same plan shapes the dedicated APIs are plan-asserted
+    * to have.
+    */
+  def search(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      query: String,
+      k: Int,
+      minShouldMatch: Int = 1,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: TombstoneSet = TombstoneSet.empty
+  ): DataFrame = {
+    require(minShouldMatch >= 1, s"minShouldMatch must be >= 1, got $minShouldMatch")
+    val pq = parseQuery(query)
+    val stems = analyzePrefixStems(pq.prefixes.map(_.dropRight(1)))
+    val expanded = expandPrefixes(spark, termStats, stems)
+    val literal = Analyzer.analyzeQuery(
+      (pq.free ++ pq.phrases.map(_._1)).mkString(" "), cfg.analyzer)
+    // one weight per distinct positive term; a term typed AND matched by a
+    // wildcard sums its occurrences, like prefixTopK
+    val positive = (literal ++ expanded)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val excl = pq.excluded.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
+    val m = minShouldMatch
+    // more required matches than distinct positive terms is unsatisfiable
+    if (positive.isEmpty || m > positive.size) return emptyScores(spark)
+    // re-synthesized token stream carrying the exact (term, qtf) weights
+    // for the query-text-taking dedicated APIs (analysis is idempotent on
+    // analyzed terms)
+    def posText = positive.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
+
+    if (pq.phrases.isEmpty) {
+      if (excl.isEmpty && m == 1)
+        wandTopK(spark, blocks, termStats, corpus, posText, k, cfg, tombstones)
+      else if (m == positive.size)
+        conjunctiveTopK(spark, blocks, termStats, corpus,
+          (posText +: excl.map("-" + _)).mkString(" "), k, cfg, tombstones)
+      else
+        minShouldMatchTopK(spark, blocks, termStats, corpus, posText, m, k, cfg,
+          tombstones, excl)
+    } else if (pq.phrases.size == 1 && pq.free.isEmpty && pq.prefixes.isEmpty &&
+        excl.isEmpty) {
+      // a phrase match contains every phrase word, so any satisfiable m is
+      // already met — scoring is the phrase-as-one-term PhraseQuery shape
+      phraseTopK(spark, blocks, corpus, pq.phrases.head._1, k, cfg,
+        pq.phrases.head._2, tombstones)
+    } else if (pq.phrases.size == 1 && pq.phrases.head._2 == 0 &&
+        pq.prefixes.isEmpty && excl.isEmpty && m == 1) {
+      phraseFilterRank(spark, blocks, termStats, corpus, pq.free.mkString(" "),
+        pq.phrases.head._1, k, cfg, tombstones)
+    } else {
+      composedTopK(spark, blocks, termStats, corpus, positive, pq.phrases, excl,
+        m, k, cfg, tombstones)
+    }
+  }
+
+  /** The general composed query: every phrase is a filter, exclusions drop
+    * candidates, minimum-should-match gates on the per-doc distinct-match
+    * count, and ranking is the BM25 fold over the positive terms — the
+    * [[phraseFilterRank]] plan generalized.
+    *
+    * Scale shape: each phrase's survivor relation is bounded by its rarest
+    * term and semi-join-prunes the decoded postings (broadcast when the
+    * MEASURED survivor count fits, else shuffle); exclusions are a
+    * doc-level anti-join against the excluded terms' postings; everything
+    * sits on the term-pushed block scan. Tombstones are enforced by the
+    * positional matcher inside every phrase filter (this path always has
+    * at least one phrase), so no candidate needs a second check.
+    */
+  private[graft] def composedTopK(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      positive: Seq[(String, Int)],
+      phrases: Seq[(String, Int)],
+      excluded: Seq[String],
+      m: Int,
+      k: Int,
+      cfg: IndexBuilder.Config,
+      tombstones: TombstoneSet
+  ): DataFrame = {
+    import spark.implicits._
+    require(phrases.nonEmpty, "composedTopK is the >=1-phrase path")
+    if (positive.isEmpty) return emptyScores(spark)
+    // every phrase must match somewhere or the result is empty; persisted
+    // (two consumers: size probe + semi-join), left to LRU eviction
+    val matchSets = phrases.map { case (ph, slop) =>
+      phraseMatches(spark, blocks, ph, cfg, slop, tombstones) match {
+        case None => return emptyScores(spark)
+        case Some(df) => df.persist()
+      }
+    }
+    val counts = matchSets.map(_.count())
+    if (counts.contains(0L)) {
+      matchSets.foreach(_.unpersist()); return emptyScores(spark)
+    }
+    val names = positive.map(_._1)
+    val idfs: Map[String, Double] = termStats
+      .filter($"term".isin(names: _*))
+      .collect().map(t => t.term -> t.idf).toMap
+    val live = positive.filter { case (t, _) => idfs.contains(t) }
+    if (live.isEmpty || live.size < m) {
+      matchSets.foreach(_.unpersist()); return emptyScores(spark)
+    }
+    val qdf = broadcast(live.map { case (t, qtf) => (t, qtf, idfs(t)) }
+      .toDF("term", "qtf", "idf"))
+    val p = cfg.params
+    val post = scoringBlocks(blocks).toDF()
+      .filter($"term".isin(live.map(_._1): _*))
+      .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
+      .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
+    val phrasePruned = matchSets.zip(counts).foldLeft(post) { case (acc, (ms, n)) =>
+      val survivors = ms.select($"docId")
+      if (n <= PhraseBroadcastCap) acc.join(broadcast(survivors), Seq("docId"), "left_semi")
+      else acc.join(survivors, Seq("docId"), "left_semi")
+    }
+    val exclLive = excluded.distinct
+    val pruned =
+      if (exclLive.isEmpty) phrasePruned
+      else {
+        val exclDocs = scoringBlocks(blocks).toDF()
+          .filter($"term".isin(exclLive: _*))
+          .select(explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
+          .select($"pp.docId".as("docId"))
+        phrasePruned.join(exclDocs, Seq("docId"), "left_anti")
+      }
+    // cs has at most one entry per distinct positive term (post is keyed
+    // by (term, docId); q by term), so size(cs) IS the distinct-match count
+    pruned
+      .join(qdf, Seq("term"))
+      .withColumn("contrib",
+        contributionCol($"qtf", $"idf", $"tf", $"dl", corpus.avgdl, p))
+      .groupBy($"docId")
+      .agg(collect_list(struct($"term", $"contrib")).as("cs"))
+      .filter(size($"cs") >= m)
+      .select($"docId",
+        aggregate(array_sort($"cs"), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
   }
 
   // --------------------------------------------------------------- phrase
@@ -657,7 +912,7 @@ object QueryEngine {
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
       slop: Int = 0,
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
     val lazyMatches = phraseMatches(spark, blocks, phrase, cfg, slop, tombstones)
@@ -702,7 +957,7 @@ object QueryEngine {
       phrase: String,
       k: Int,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
     // persisted: consumed by the size probe below AND the semi-join
@@ -766,14 +1021,14 @@ object QueryEngine {
       phrase: String,
       cfg: IndexBuilder.Config,
       slop: Int = 0,
-      tombstones: Array[Long] = Array.emptyLongArray
+      tombstones: TombstoneSet = TombstoneSet.empty
   ): Option[DataFrame] = {
     import spark.implicits._
     val terms = Analyzer.tokenize(phrase, cfg.analyzer) // order + duplicates matter
     if (terms.isEmpty) return None
     val distinctTerms = terms.distinct
     val termsB = spark.sparkContext.broadcast(terms)
-    val tsB = spark.sparkContext.broadcast(tombstones)
+    val tsB = tombstones.broadcastVia(spark)
     val slop0 = slop
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
@@ -845,7 +1100,7 @@ object QueryEngine {
         it: BufferedIterator[PostingBlock],
         terms: Seq[String],
         slop: Int = 0,
-        tombstones: Array[Long] = Array.emptyLongArray
+        tombstones: TombstoneSet = TombstoneSet.empty
     ): Iterator[(Long, Int, Int)] = {
       val distinctTerms = terms.distinct
       new Iterator[(Long, Int, Int)] {
@@ -871,7 +1126,7 @@ object QueryEngine {
         cursors: Map[String, PosCursor],
         terms: Seq[String],
         slop: Int,
-        tombstones: Array[Long] = Array.emptyLongArray
+        tombstones: TombstoneSet = TombstoneSet.empty
     ): Seq[(Long, Int, Int)] = {
       val cs = cursors.values.toArray
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
@@ -898,8 +1153,7 @@ object QueryEngine {
           }
           if (!done && aligned) {
             // tombstoned docs never match (they'd distort the phrase df)
-            val dead = tombstones.length > 0 &&
-              java.util.Arrays.binarySearch(tombstones, target) >= 0
+            val dead = tombstones.contains(target)
             val tfp = if (dead) 0 else phraseCount(terms, cursors, slop)
             if (tfp > 0) out += ((target, tfp, cs(0).curDl))
             var m = 0
@@ -1018,7 +1272,7 @@ object QueryEngine {
         qts: Seq[QTerm],
         k: Int,
         k1: Double, b: Double, avgdl: Double,
-        tombstones: Array[Long] = Array.emptyLongArray
+        tombstones: TombstoneSet = TombstoneSet.empty
     ): Iterator[(Long, Double)] =
       scorePartitionBatch(it, Seq("" -> qts), k, k1, b, avgdl, tombstones)
         .map { case (_, d, s) => (d, s) }
@@ -1032,7 +1286,7 @@ object QueryEngine {
         queries: Seq[(String, Seq[QTerm])],
         k: Int,
         k1: Double, b: Double, avgdl: Double,
-        tombstones: Array[Long] = Array.emptyLongArray
+        tombstones: TombstoneSet = TombstoneSet.empty
     ): Iterator[(String, Long, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
       while (it.hasNext) {
@@ -1068,7 +1322,7 @@ object QueryEngine {
       * candidate whose upper bound is <= θ can never displace a heap entry.
       */
     private def wandShard(cursors: Array[Cursor], k: Int,
-        tombstones: Array[Long] = Array.emptyLongArray): Seq[(Long, Double)] = {
+        tombstones: TombstoneSet = TombstoneSet.empty): Seq[(Long, Double)] = {
       val heap = new TopKHeap(k)
       def theta: Double = heap.theta
 
@@ -1099,8 +1353,7 @@ object QueryEngine {
           if (sorted.head.curDoc == pivotDoc) {
             // tombstoned (deleted) docs are skipped exactly like a failed
             // block-max bound: never scored, never a heap slot
-            val dead = tombstones.length > 0 &&
-              java.util.Arrays.binarySearch(tombstones, pivotDoc) >= 0
+            val dead = tombstones.contains(pivotDoc)
             // block-max refinement: tighten with current-block ubs
             var blockAcc = 0.0
             var j = 0

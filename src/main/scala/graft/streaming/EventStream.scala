@@ -90,7 +90,10 @@ object EventStream {
     *        queries and re-loads at its own pace; it only needs to
     *        re-load at least once per commit, which an ingest cadence of
     *        minutes makes trivial (IncrementalSpec holds a handle across
-    *        a live compaction to pin this).
+    *        a live compaction to pin this). A reader that might lag a
+    *        full commit behind calls `Index.requireServable()` before a
+    *        query burst — it fails fast with a clear "stale handle —
+    *        reload" diagnosis instead of a mid-scan FileNotFoundException.
     * @param checkpointDir Structured Streaming checkpoint location —
     *        REQUIRED, because the sink's idempotence is keyed by batchId:
     *        under a checkpoint, Spark's replay contract guarantees a

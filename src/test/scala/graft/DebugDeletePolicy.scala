@@ -46,7 +46,7 @@ object DebugDeletePolicy {
       val lats = (0 until reps).flatMap { _ =>
         queries.map(q => time {
           QueryEngine.wandTopK(spark, idx.blocks, idx.termStats, idx.corpus,
-            q, 10, cfg, idx.tombstoneIds).collect(): Unit
+            q, 10, cfg, idx.tombstoneSet).collect(): Unit
         })
       }.sorted
       (lats(lats.size / 2), lats(math.min(lats.size - 1, (lats.size * 95) / 100)))

@@ -61,7 +61,7 @@ class DeleteSpec extends AnyFunSuite {
 
   private def wandTop(idx: IndexStore.Index, q: String, k: Int): Seq[(Long, Double)] =
     QueryEngine.wandTopK(spark, idx.blocks, idx.termStats, idx.corpus, q, k, cfg,
-      idx.tombstoneIds).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      idx.tombstoneSet).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   test("delete: WAND/conjunctive/phrase all score like a survivor-only rebuild") {
     val turns = TranscriptGen.turns(seed = 61, nConvs = 40)
@@ -96,7 +96,7 @@ class DeleteSpec extends AnyFunSuite {
     }
     // conjunctive respects tombstones (heap slots + intersect)
     val andGot = QueryEngine.conjunctiveTopK(spark, idx.blocks, idx.termStats,
-      idx.corpus, "term0000 term0001", 1000, cfg, idx.tombstoneIds)
+      idx.corpus, "term0000 term0001", 1000, cfg, idx.tombstoneSet)
       .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
     assert(andGot.nonEmpty && andGot.forall { case (d, _) => !drop.contains(d) })
     andGot.foreach { case (d, _) =>
@@ -105,7 +105,7 @@ class DeleteSpec extends AnyFunSuite {
     }
     // phrase df/tf and ranks follow the survivor corpus
     val pGot = QueryEngine.phraseTopK(spark, idx.blocks, idx.corpus,
-      "term0000 term0001", 10, cfg, 0, idx.tombstoneIds)
+      "term0000 term0001", 10, cfg, 0, idx.tombstoneSet)
       .collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
     val pWant = phraseOracle(survivors, "term0000 term0001", 10)
     assert(pWant.nonEmpty, "vacuous phrase fixture")
@@ -183,7 +183,7 @@ class DeleteSpec extends AnyFunSuite {
     val compacted = IndexStore.compact(spark, dir, cfg)
     assert(compacted.manifest.tombstoneDirs.isEmpty, "compact must clear tombstones")
     val idx = IndexStore.load(spark, dir)
-    assert(idx.tombstoneIds.isEmpty)
+    assert(idx.tombstoneSet.isEmpty)
     // physically gone: no dropped docId survives in any decoded block or doc
     val docIds = idx.blocks.collect()
       .flatMap(b => Codec.decode(b.payload, b.n).map(_.docId)).toSet
@@ -362,8 +362,32 @@ class DeleteSpec extends AnyFunSuite {
     // compact purges everything dead; index still exact for the new corpus
     IndexStore.compact(spark, dir, cfg)
     val idx3 = IndexStore.load(spark, dir)
-    assert(idx3.tombstoneIds.isEmpty)
+    assert(idx3.tombstoneSet.isEmpty)
     val oracleMoreIds = idx3.docs.collect().map(_.docId).toSet
     assert(oracleMoreIds == liveIds.toSet)
+  }
+
+  test("requireServable: fresh and one-commit-behind handles pass; two behind fails") {
+    val turns = TranscriptGen.turns(seed = 66, nConvs = 20)
+    val dir = Files.createTempDirectory("graft-stale").toString
+    IndexStore.build(spark, ds(turns), dir, "s-base", cfg)
+    val handle = IndexStore.load(spark, dir)
+    handle.requireServable() // fresh
+
+    // ONE commit lands (a delete rewrites termstats into a new dir): the
+    // superseded dirs are grace-protected, the handle must stay servable
+    IndexStore.deleteDocs(spark, dropDf(Seq(0L, 1L)), dir, "s-del", cfg)
+    handle.requireServable()
+    val afterOne = IndexStore.load(spark, dir)
+
+    // a SECOND commit ends the first one's grace window: the original
+    // handle's termstats dir is gone — fail fast with the clear diagnosis
+    IndexStore.appendSnapshot(spark, ds(shiftConvs(turns.take(5), "zz-")), dir,
+      "s-app", cfg)
+    val ex = intercept[IllegalStateException](handle.requireServable())
+    assert(ex.getMessage.contains("stale index handle"), ex.getMessage)
+    // the one-commit-behind handle is exactly at the grace boundary: still ok
+    afterOne.requireServable()
+    IndexStore.load(spark, dir).requireServable()
   }
 }

@@ -376,7 +376,7 @@ class IncrementalSpec extends AnyFunSuite {
       Seq("term0000 term0001", "term0002", "term0010 term0030").foreach { q =>
         val want = OracleBM25.topK(oracle, q, 10, cfg.analyzer)
         val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
-          idx.corpus, q, 10, cfg, idx.tombstoneIds)
+          idx.corpus, q, 10, cfg, idx.tombstoneSet)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(got == want, s"seed=$seed q=[$q]")
       }

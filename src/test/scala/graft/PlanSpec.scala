@@ -91,7 +91,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("lifecycle (deleted) docs view broadcasts the tiny tombstone relation") {
     val idx = SparkEntry.lifecycleIndex(spark, dir)
-    assert(idx.tombstoneIds.nonEmpty, "lifecycle fixture deleted nothing — vacuous")
+    assert(idx.tombstoneSet.nonEmpty, "lifecycle fixture deleted nothing — vacuous")
     val p = plan(idx.docs.toDF())
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "live docs view must anti-join a BROADCAST tombstone set:\n" + p)

@@ -158,7 +158,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val idx = IndexStore.load(spark, idxDir)
     // the in-stream compaction purged the tombstones physically
-    assert(idx.manifest.tombstoneDirs.isEmpty && idx.tombstoneIds.isEmpty,
+    assert(idx.manifest.tombstoneDirs.isEmpty && idx.tombstoneSet.isEmpty,
       "in-stream compaction should have purged the tombstones")
     val combined = OracleBM25.corpus(base ++ delta, cfg.analyzer)
     val survivors = {
@@ -175,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
     Seq("term0000 term0001", "term0002").foreach { text =>
       val want = OracleBM25.topK(survivors, text, 10, cfg.analyzer)
       val got = QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
-        idx.corpus, text, 10, cfg, idx.tombstoneIds)
+        idx.corpus, text, 10, cfg, idx.tombstoneSet)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got == want, s"stream+delete mismatch for [$text]")
     }

@@ -1,0 +1,226 @@
+package graft.query
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestKit.{spark, OracleBM25, TranscriptGen}
+import graft.functions.Analyzer
+import graft.index.{IndexBuilder, IndexStore}
+import graft.model.Turn
+
+/** The unified search box (QueryEngine.search): grammar parsing, routing
+  * identity to every dedicated scorer, and the composed path (phrase
+  * filter + exclusions + minimum-should-match in one query) against a
+  * brute-force scalar oracle.
+  */
+class SearchSpec extends AnyFunSuite {
+
+  private val cfg = IndexBuilder.Config(docIdPartitions = 4, numShards = 8,
+    storePositions = true)
+
+  private def buildIndex(turns: Seq[Turn], name: String): IndexStore.Index = {
+    val dir = Files.createTempDirectory(name).toString
+    val ds = spark.createDataset(turns)(org.apache.spark.sql.Encoders.product[Turn])
+    IndexStore.build(spark, ds, dir, snapshotId = name, cfg)
+    IndexStore.load(spark, dir)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def searchTop(idx: IndexStore.Index, q: String, m: Int = 1,
+      k: Int = 10): Seq[(Long, Double)] =
+    rows(QueryEngine.search(spark, idx.blocks, idx.termStats, idx.corpus, q, k, m, cfg))
+
+  test("parseQuery splits phrases (with slop), exclusions, prefixes, free terms") {
+    val pq = QueryEngine.parseQuery(
+      """spark join "data stream"~2 dat* -flink "fast table" -x y*""")
+    assert(pq.free == Seq("spark", "join"))
+    assert(pq.phrases == Seq(("data stream", 2), ("fast table", 0)))
+    assert(pq.excluded == Seq("flink", "x"))
+    assert(pq.prefixes == Seq("dat*", "y*"))
+    // blank quotes drop; a stray quote is whitespace; bare '-' and '*' are
+    // plain tokens (too short to be operators)
+    val pq2 = QueryEngine.parseQuery("""a "" b " c - *""")
+    assert(pq2.free == Seq("a", "b", "c", "-", "*"))
+    assert(pq2.phrases.isEmpty && pq2.excluded.isEmpty && pq2.prefixes.isEmpty)
+  }
+
+  test("routing: each single-feature query is identical to its dedicated API") {
+    val turns = TranscriptGen.turns(seed = 120, nConvs = 40)
+    val idx = buildIndex(turns, "graft-search-route")
+    def b = idx.blocks; def ts = idx.termStats; def c = idx.corpus
+
+    // plain terms -> WAND disjunctive
+    val plain = "term0000 term0001 term0002"
+    assert(searchTop(idx, plain) ==
+      rows(QueryEngine.wandTopK(spark, b, ts, c, plain, 10, cfg)))
+    // lone quoted phrase -> PhraseQuery scoring
+    assert(searchTop(idx, "\"term0000 term0001\"") ==
+      rows(QueryEngine.phraseTopK(spark, b, c, "term0000 term0001", 10, cfg)))
+    // lone quoted phrase with slop
+    assert(searchTop(idx, "\"term0000 term0001\"~2") ==
+      rows(QueryEngine.phraseTopK(spark, b, c, "term0000 term0001", 10, cfg, 2)))
+    // phrase + free terms -> filter-then-rank
+    assert(searchTop(idx, "term0002 \"term0000 term0001\"") ==
+      rows(QueryEngine.phraseFilterRank(spark, b, ts, c, "term0002",
+        "term0000 term0001", 10, cfg)))
+    // m = n (with exclusion) -> conjunctive leapfrog
+    assert(searchTop(idx, "term0000 term0001 -term0002", m = 2) ==
+      rows(QueryEngine.conjunctiveTopK(spark, b, ts, c,
+        "term0000 term0001 -term0002", 10, cfg)))
+    // 1 < m < n -> minimum-should-match
+    val q4 = "term0000 term0001 term0002 term0003"
+    assert(searchTop(idx, q4, m = 2) ==
+      rows(QueryEngine.minShouldMatchTopK(spark, b, ts, c, q4, 2, 10, cfg)))
+    // wildcard -> dictionary expansion (identical to prefixTopK)
+    assert(searchTop(idx, "term000* term0042") ==
+      rows(QueryEngine.prefixTopK(spark, b, ts, c, "term000* term0042", 10, cfg)))
+    assert(searchTop(idx, plain).nonEmpty, "vacuous routing fixture")
+  }
+
+  test("unsatisfiable minShouldMatch and empty grammars return empty") {
+    val turns = TranscriptGen.turns(seed = 121, nConvs = 10)
+    val idx = buildIndex(turns, "graft-search-empty")
+    assert(searchTop(idx, "term0000 term0001", m = 3).isEmpty,
+      "m beyond the distinct positive terms is unsatisfiable")
+    assert(searchTop(idx, "\"term0000 term0001\"", m = 2).nonEmpty,
+      "a phrase match contains every phrase word, so m = 2 is satisfiable")
+    assert(searchTop(idx, "").isEmpty)
+    assert(searchTop(idx, "\"\"").isEmpty)
+    assert(searchTop(idx, "-term0000").isEmpty,
+      "exclusions without any positive term match nothing")
+  }
+
+  /** Brute-force scalar oracle for the full unified semantics. */
+  private def unifiedOracle(turns: Seq[Turn], query: String, m: Int,
+      k: Int): Seq[(Long, Double)] = {
+    val c = OracleBM25.corpus(turns, cfg.analyzer)
+    val pq = QueryEngine.parseQuery(query)
+    val stems = QueryEngine.analyzePrefixStems(pq.prefixes.map(_.dropRight(1)))
+    val dict = c.postings.keys.toSeq.sorted
+    val expanded = stems.flatMap { case (p, n) =>
+      dict.filter(_.startsWith(p)).take(QueryEngine.PrefixExpansionCap).map(_ -> n)
+    }
+    val literal = Analyzer.analyzeQuery(
+      (pq.free ++ pq.phrases.map(_._1)).mkString(" "), cfg.analyzer)
+    val positive = (literal ++ expanded)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      .filter { case (t, _) => c.postings.contains(t) }
+    val excl = pq.excluded.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
+    val phraseTerms = pq.phrases.map { case (ph, slop) =>
+      (Analyzer.tokenize(ph, cfg.analyzer), slop)
+    }
+    if (positive.isEmpty || positive.size < m || phraseTerms.exists(_._1.isEmpty))
+      return Nil
+    def hasChain(toks: Array[String], terms: Seq[String], slop: Int): Boolean = {
+      val bound = terms.length - 1 + slop
+      def rec(start: Int, j: Int, prev: Int): Boolean =
+        if (j == terms.length) true
+        else (prev + 1 until toks.length).exists { p =>
+          p - start <= bound && toks(p) == terms(j) && rec(start, j + 1, p)
+        }
+      toks.indices.exists(i => toks(i) == terms.head && rec(i, 1, i))
+    }
+    val idf = positive.map { case (t, _) => t -> Bm25.idf(c.n, c.postings(t).size) }.toMap
+    val matching = c.docs.filter { case (id, text) =>
+      val toks = Analyzer.tokenize(text, cfg.analyzer).toArray
+      phraseTerms.forall { case (terms, slop) => hasChain(toks, terms, slop) } &&
+        !excl.exists(t => c.postings.get(t).exists(_.contains(id))) &&
+        positive.count { case (t, _) => c.postings(t).contains(id) } >= m
+    }
+    matching.map { case (id, _) =>
+      var s = 0.0
+      positive.foreach { case (t, qtf) => // ascending-term summation order
+        c.postings(t).get(id).foreach(tf =>
+          s += Bm25.contribution(qtf, idf(t), tf, c.dl(id), c.avgdl, cfg.params))
+      }
+      (id, s)
+    }.sortBy { case (d, s) => (-s, d) }.take(k).toSeq
+  }
+
+  test("composed path (phrase + exclusion + msm + wildcard) matches the scalar oracle") {
+    val turns = TranscriptGen.turns(seed = 122, nConvs = 40)
+    val idx = buildIndex(turns, "graft-search-comp")
+    var nonEmpty = 0
+    Seq(
+      ("\"term0000 term0001\" term0002 -term0005", 1),
+      ("\"term0000 term0001\"~2 term0002 term0003", 2),
+      ("\"term0000 term0001\" \"term0001 term0002\"", 1), // two phrases
+      ("term000* \"term0000 term0001\"", 1), // wildcard + phrase
+      ("\"term0000 term0001\" -term0002 -term0003", 1),
+      ("\"term0001 term0002\" term0004 term0005 term0000", 3)
+    ).foreach { case (q, m) =>
+      val want = unifiedOracle(turns, q, m, 10)
+      val got = searchTop(idx, q, m)
+      assert(got == want, s"composed mismatch for [$q] m=$m")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 4, "composed fixtures mostly empty — vacuous")
+  }
+
+  test("msm with exclusions (no phrase) matches the scalar oracle") {
+    val turns = TranscriptGen.turns(seed = 123, nConvs = 40)
+    val idx = buildIndex(turns, "graft-search-msmx")
+    var nonEmpty = 0
+    Seq(
+      ("term0000 term0001 term0002 -term0005", 2),
+      ("term0000 term0001 term0002 term0003 -term0004", 2),
+      ("term0001 term0002 term0003 -term0000", 1)
+    ).foreach { case (q, m) =>
+      val want = unifiedOracle(turns, q, m, 10)
+      val got = searchTop(idx, q, m)
+      assert(got == want, s"msm+excl mismatch for [$q] m=$m")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 2, "msm+excl fixtures mostly empty — vacuous")
+  }
+
+  test("property: unified search == scalar oracle over random grammars") {
+    val rnd = new scala.util.Random(777L)
+    val turns = TranscriptGen.turns(seed = 124, nConvs = 30, vocabSize = 60)
+    val idx = buildIndex(turns, "graft-search-prop")
+    var nonEmpty = 0
+    (0 until 12).foreach { i =>
+      def t(): String = f"term${rnd.nextInt(30)}%04d"
+      val free = Seq.fill(rnd.nextInt(3))(t())
+      val phrase =
+        if (rnd.nextBoolean()) {
+          val slop = rnd.nextInt(3)
+          val sfx = if (slop > 0) s"~$slop" else ""
+          Seq(s""""${t()} ${t()}"$sfx""")
+        } else Nil
+      val excl = Seq.fill(rnd.nextInt(2))("-" + t())
+      val wild = if (rnd.nextInt(4) == 0) Seq("term000*") else Nil
+      val q = rnd.shuffle(free ++ phrase ++ excl ++ wild).mkString(" ")
+      val nPos = (free ++ phrase.map(_.takeWhile(_ != '~').replace("\"", "")) ++ wild)
+        .mkString(" ").split("\\s+").count(_.nonEmpty)
+      val m = 1 + rnd.nextInt(math.max(1, math.min(nPos, 2)))
+      if (q.trim.nonEmpty && (free.nonEmpty || phrase.nonEmpty || wild.nonEmpty)) {
+        val want = unifiedOracle(turns, q, m, 10)
+        val got = searchTop(idx, q, m)
+        assert(got == want, s"property mismatch #$i for [$q] m=$m")
+        if (want.nonEmpty) nonEmpty += 1
+      }
+    }
+    assert(nonEmpty >= 4, "random grammar property mostly vacuous")
+  }
+
+  test("a stopword prefix expands the dictionary instead of silently matching nothing") {
+    val ts0 = new java.sql.Timestamp(0L)
+    val turns = Seq(
+      Turn("c0", 0, "user", "theory holds", "", ts0),
+      Turn("c0", 1, "user", "theorem proved theory", "", ts0),
+      Turn("c0", 2, "user", "nothing here", "", ts0))
+    val idx = buildIndex(turns, "graft-prefix-stop")
+    // 'the' is a stopword: round 4 analyzed the stem and dropped the token
+    val got = rows(QueryEngine.prefixTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "the*", 10, cfg))
+    val want = rows(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "theorem theory", 10, cfg))
+    assert(got == want, "the* must expand to theorem/theory")
+    assert(got.nonEmpty)
+    assert(searchTop(idx, "the*") == want, "search() shares the fixed stem analysis")
+  }
+}
