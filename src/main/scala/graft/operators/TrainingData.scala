@@ -356,6 +356,128 @@ object TrainingData {
       .limit(k)
   }
 
+  val PqSubspaces = 8 // 64 dims -> 8 sub-vectors of 8 dims
+  val PqCodebookSize = 16 // 16 sub-centroids per subspace -> 4-bit codes
+  val PqShortlist = 50 // ADC candidates handed to the exact rerank
+
+  private val PqSubDim = 64 / PqSubspaces
+
+  /** Rounded squared L2 between two array columns — the PQ
+    * encode/ADC metric (6 dp pins cross-engine fold-order noise, the same
+    * rule every sketch here uses).
+    */
+  private def l2Of(a: String, b: String): Column = round(
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6)
+
+  /** PQ sub-codebooks, deterministic and k-means-free: the sub-slices of
+    * donor vectors 1..[[PqCodebookSize]] — the PQ twin of the IVF centroid
+    * rule (fixed ids keep engine and oracle bit-identical; production
+    * would use a seeded sample, same shape). 128 tiny rows: (m, j, c).
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(1, PqCodebookSize))
+      .select((col("vec_id") - 1).as("j"),
+        explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
+          s"m -> struct(m AS m, slice(v, m * $PqSubDim + 1, $PqSubDim) AS c))")).as("mc"))
+      .select(col("mc.m").as("m"), col("j"), col("mc.c").as("c"))
+
+  /** Nearest sub-centroid per (vector, subspace): rounded L2, ties to the
+    * smaller codebook id — (vec_id, m, j, rc) where rc is the chosen
+    * sub-centroid (the reconstruction piece). The broadcast side is the
+    * 128-row codebook; the min is a partial-aggregable struct-min, never a
+    * window.
+    */
+  private def pqAssign(vectors: DataFrame, cb: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${PqSubspaces - 1}), " +
+          s"m -> struct(m AS m, slice(v, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d", l2Of("sv", "c"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("j"), col("c"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("j"), col("best.c").as("rc"))
+
+  /** The stored form of the PQ index: per vector, its coarse list id and
+    * the [[PqSubspaces]] 4-bit codes — what a build would persist in place
+    * of the raw float vectors (the compression the reference gets from
+    * FAISS IVFPQ m=64 nbits=8, build_index.py:37-39). Bytes/vector is
+    * measured off this relation in BASELINE.md.
+    */
+  def pqCodes(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineOf("v", "cv"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    pqAssign(e, pqCodebook(e))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("j")))).as("parts"))
+      .select(col("vec_id"),
+        expr("transform(parts, p -> cast(p.j AS tinyint))").as("codes"))
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("codes"))
+  }
+
+  /** IVFPQ ANN — the full shape of the reference's semantic index
+    * (FAISS IVFPQ nlist/m/nbits + exact rerank, build_index.py:37-44):
+    * coarse quantizer = the [[annIvfTopK]] assignment ([[IvfProbes]]
+    * probed lists bound the scan), then an ASYMMETRIC-distance shortlist —
+    * the query stays full-precision, each candidate is represented by its
+    * PQ reconstruction (sub-centroid concat), rounded L2, id tie-break,
+    * top [[PqShortlist]] — and an exact-cosine rerank of only those.
+    * The rerank makes the final top-k exact-cosine-scored, so the DuckDB
+    * oracle checks it outright; recall vs [[annIvfTopK]] /
+    * [[annCosineTopK]] is measured in TrainingDataSpec.
+    *
+    * At 100 TB the wins compose: probed lists cut the scan to
+    * probes/nlist of the corpus, and the scanned representation is the
+    * 4 B code (+4-bit list id) instead of the 256 B float32 vector —
+    * full-precision vectors are touched only for the [[PqShortlist]]
+    * rerank rows.
+    */
+  def annIvfPqTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+    val cents = e.filter(col("vec_id").between(1, IvfCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val sims = e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineOf("v", "cv"))
+    val assigned = sims
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("ncid"), col("cid"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cid").as("cid"))
+    val qProbe = sims.filter(col("vec_id") === 0)
+      .orderBy(col("sim").desc, col("cid").asc).limit(IvfProbes)
+      .select(col("cid"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // probed lists only — codes are probe-independent, so restricting
+    // before the encode join is pure pruning (and the scale shape: a real
+    // build stores the codes; a query only ever touches probed lists)
+    val probed = assigned.filter(col("vec_id") > 0)
+      .join(broadcast(qProbe), Seq("cid"), "left_semi")
+      .persist()
+    val recon = pqAssign(probed.select(col("vec_id"), col("v")), pqCodebook(e))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("rc")))).as("parts"))
+      .select(col("vec_id"), expr("flatten(transform(parts, p -> p.rc))").as("rv"))
+    val shortlist = recon.crossJoin(broadcast(qv))
+      .withColumn("adc", l2Of("rv", "qv"))
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(PqShortlist)
+      .select(col("vec_id"))
+    probed
+      .join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosineCol.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: each vector is
     * multi-probed into its Hamming<=1 bucket ball (5 keys), pairs come
     * from the EQUI-join on the probe key (two vectors whose buckets differ
@@ -576,6 +698,7 @@ object TrainingData {
     "ann_lsh_bucket" -> ((s, dir) => annLshTopK(embTable(s, dir))),
 
     "ann_ivf_topk" -> ((s, dir) => annIvfTopK(embTable(s, dir))),
+    "ann_ivfpq_topk" -> ((s, dir) => annIvfPqTopK(embTable(s, dir))),
 
     "dedup_embedding_cosine" -> ((s, dir) => embeddingCosinePairs(embTable(s, dir))),
 
@@ -761,6 +884,50 @@ object TrainingData {
        |WHERE a.vec_id > 0
        |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
 
+  /** SQL twin of [[annIvfPqTopK]]: the same coarse CTEs as [[annIvfOracle]]
+    * plus sub-slicing, rounded-L2 codebook assignment (row_number argmin —
+    * oracle-side only), ordered reconstruction via list(... ORDER BY m),
+    * the ADC shortlist, and the exact-cosine rerank.
+    */
+  private def annIvfPqOracle: String = {
+    val sub = PqSubDim
+    def l2sql(a: String, b: String, n: Int): String =
+      s"round(list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $IvfCentroids),
+       |sims AS (SELECT e.vec_id, e.v, c.cid,
+       |  ${cosineSql("e.v", "c.cv")} AS sim
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, v, cid FROM (
+       |  SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |  FROM sims) WHERE rn = 1),
+       |qprobe AS (SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT $IvfProbes),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |subsp AS (SELECT unnest(range($PqSubspaces)) AS m),
+       |cb AS (SELECT s.m, e.vec_id - 1 AS j,
+       |         list_transform(range(1, ${sub + 1}), i -> e.v[s.m * $sub + i]) AS c
+       |       FROM e CROSS JOIN subsp s WHERE e.vec_id BETWEEN 1 AND $PqCodebookSize),
+       |probed AS (SELECT a.vec_id, a.v FROM assigned a JOIN qprobe USING (cid)
+       |           WHERE a.vec_id > 0),
+       |sv AS (SELECT p.vec_id, s.m,
+       |         list_transform(range(1, ${sub + 1}), i -> p.v[s.m * $sub + i]) AS sv
+       |       FROM probed p CROSS JOIN subsp s),
+       |enc AS (SELECT vec_id, m, c FROM (
+       |  SELECT sv.vec_id, sv.m, cb.j, cb.c,
+       |         row_number() OVER (PARTITION BY sv.vec_id, sv.m
+       |           ORDER BY ${l2sql("sv.sv", "cb.c", sub)}, cb.j) AS rn
+       |  FROM sv JOIN cb ON sv.m = cb.m) WHERE rn = 1),
+       |recon AS (SELECT vec_id, flatten(list(c ORDER BY m)) AS rv FROM enc GROUP BY 1),
+       |short AS (SELECT r.vec_id FROM recon r CROSS JOIN q
+       |          ORDER BY ${l2sql("r.rv", "q.qv", 64)}, r.vec_id LIMIT $PqShortlist)
+       |SELECT p.vec_id,
+       |  ${cosineSql("p.v", "q.qv")} AS cos
+       |FROM probed p JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY cos DESC, p.vec_id LIMIT 10""".stripMargin
+  }
+
   private def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
@@ -856,6 +1023,7 @@ object TrainingData {
            |FROM documents d LEFT JOIN clusters c USING (doc_id)""".stripMargin,
       "ann_lsh_bucket" -> annLshOracle,
       "ann_ivf_topk" -> annIvfOracle,
+      "ann_ivfpq_topk" -> annIvfPqOracle,
       "dedup_embedding_cosine" -> embCosineOracle,
       "lang_id" ->
         """SELECT doc_id, lang,

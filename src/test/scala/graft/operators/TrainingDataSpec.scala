@@ -249,4 +249,38 @@ class TrainingDataSpec extends AnyFunSuite {
     info(f"ann-LSH recall@10 on clustered vectors = $recall%.2f")
     assert(recall >= 0.7, f"clustered recall $recall%.2f below 0.7")
   }
+
+  test("ann_ivfpq: codes well-formed; rerank recall tracks IVF-flat on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321L)
+    val dims = 64
+    val centers = (0 until 16).map(_ => Array.fill(dims)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val rows = (0L until 400L).map { id =>
+      val c = centers((id % 16).toInt)
+      (id, c.map(x => x + rnd.nextGaussian().toFloat * 0.3f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // stored form: every vector carries a coarse id and M codes in range
+    val codes = TrainingData.pqCodes(emb).collect()
+    assert(codes.length == rows.length, "every vector must encode")
+    codes.foreach { r =>
+      val cs = r.getSeq[Byte](2)
+      assert(cs.length == TrainingData.PqSubspaces)
+      assert(cs.forall(j => j >= 0 && j < TrainingData.PqCodebookSize),
+        s"code out of range: $cs")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= TrainingData.IvfCentroids)
+    }
+    // the ADC shortlist + exact rerank keeps (almost) the recall of the
+    // flat scan over the same probed lists — PQ costs candidates only when
+    // the true neighbor falls outside the shortlist
+    val exact = TrainingData.annCosineTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val ivf = TrainingData.annIvfTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val pq = TrainingData.annIvfPqTopK(emb, 10).collect().map(_.getLong(0)).toSet
+    val recallExact = (pq & exact).size.toDouble / exact.size
+    val recallIvf = (pq & ivf).size.toDouble / ivf.size
+    info(f"ann-IVFPQ recall@10 vs exact = $recallExact%.2f, vs IVF-flat = $recallIvf%.2f")
+    assert(pq.nonEmpty)
+    assert(recallIvf >= 0.7, f"IVFPQ lost too much vs IVF-flat: $recallIvf%.2f")
+    assert(recallExact >= 0.6, f"IVFPQ recall vs exact too low: $recallExact%.2f")
+  }
 }
