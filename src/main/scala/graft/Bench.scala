@@ -57,10 +57,42 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR: concurrent serving clients share the executor instead of
+      // queueing whole jobs FIFO (the concurrent_p* keys measure this)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Serving concurrency: `threads` clients submit `reps` WAND queries
+    * each against ONE session/index (FAIR scheduler), k=10, raw ranks —
+    * the serving shape the reference never had (it launched a
+    * spark-submit per request, api/combined.py:240). Returns every
+    * per-query wall-clock latency as observed BY A CLIENT (queueing
+    * included).
+    */
+  private def concurrentLats(spark: SparkSession, idx: graft.index.IndexStore.Index,
+      queries: Seq[String], threads: Int, reps: Int,
+      cfg: IndexBuilder.Config): Seq[Double] = {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(threads)
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    (0 until threads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = (0 until reps).foreach { r =>
+          val q = queries((t + r) % queries.size)
+          val sec = time(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+            idx.corpus, q, 10, cfg, idx.tombstoneSet).collect())._2
+          lats.add(sec)
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(30, TimeUnit.MINUTES)
+    import scala.jdk.CollectionConverters._
+    lats.asScala.toSeq
   }
 
   private def time[A](f: => A): (A, Double) = {
@@ -189,6 +221,16 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       name -> sec
     }
+    // serving concurrency: 8 clients against the (already warm) sf index
+    // in THIS session under the FAIR scheduler; client-observed latency
+    val concTexts = SparkEntry.querySet.map(_._2)
+    val (concP50, concP95) =
+      try {
+        val idx = SparkEntry.index(spark, sfDir)
+        val lats = concurrentLats(spark, idx, concTexts, threads = 8, reps = 4,
+          SparkEntry.cfg)
+        (p(lats, 0.50), p(lats, 0.95))
+      } catch { case _: Throwable => (-1.0, -1.0) }
     spark.stop()
 
     // Raw per-run times go to a SEPARATE line: the final metric line must
@@ -223,7 +265,9 @@ object Bench {
       s"query_p50_local${hi}_sec" -> r3(p50Hi),
       s"query_p95_local${hi}_sec" -> r3(p95Hi),
       s"batch5_local${lo}_sec" -> r3(batchLo),
-      s"batch5_local${hi}_sec" -> r3(batchHi)
+      s"batch5_local${hi}_sec" -> r3(batchHi),
+      "concurrent8_p50_sec" -> r3(concP50),
+      "concurrent8_p95_sec" -> r3(concP95)
     ) ++ warmKeys.map { case (k, v) => k -> fmt("%.2f", v) }
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = buildHi + perQuery.map(_._2).filter(_ > 0).sum

@@ -217,6 +217,14 @@ object SparkEntry {
     "q2" -> (("dat* \"fast table\" join", 1)),
     "q3" -> (("spark join data \"fast table\"", 3)))
 
+  /** Fielded-search fixtures (`role:`/`tool:` metadata predicates — the
+    * transcript schema's natural filters, filter-then-rank over corpus-
+    * wide stats): plain fielded WAND, and a field composed with a phrase.
+    */
+  private[graft] val fieldSet: Seq[(String, (String, Int))] = Seq(
+    "q1" -> (("role:user spark join data", 1)),
+    "q2" -> (("tool:search \"data stream\"", 1)))
+
   /** Round→rank→decorate: shared output shape for every BM25 path. The
     * <= k-row ranked side is explicitly broadcast into the docs join
     * (reference J3 shape, bm25_searcher.py:117-120).
@@ -330,7 +338,7 @@ object SparkEntry {
       m: Int = 1, k: Int = 10): DataFrame = {
     val idx = index(s, dir)
     val top = QueryEngine.search(s, idx.blocks, idx.termStats, idx.corpus,
-      q, WandFetchK, m, cfg, idx.tombstoneSet)
+      q, WandFetchK, m, cfg, idx.tombstoneSet, Some(idx.docs.toDF()))
     finish(top, idx.docs, k)
   }
 
@@ -462,6 +470,8 @@ object SparkEntry {
         bm25Prefix(s, dir, prefixQuery)))
     val searchQs = mixedSet.map { case (qid, (text, m)) =>
       s"bm25_mixed_$qid" -> ((s: SparkSession, dir: String) => bm25Search(s, dir, text, m))
+    } ++ fieldSet.map { case (qid, (text, m)) =>
+      s"bm25_field_$qid" -> ((s: SparkSession, dir: String) => bm25Search(s, dir, text, m))
     }
     val batchQ = Map(
       "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
@@ -719,24 +729,33 @@ object SparkEntry {
          |    ORDER BY term LIMIT ${QueryEngine.PrefixExpansionCap})""".stripMargin
     }
     val qBody = (litSelect ++ expSelects).mkString("\n  UNION ALL ")
+    // no phrases -> no positional CTEs at all (an empty segment between
+    // commas is a DuckDB syntax error)
     val phraseCtes = phraseTerms.zipWithIndex.map { case ((terms, slop), i) =>
       if (slop == 0) phraseMatchCtes(terms, s"_$i")
       else phraseSlopMatchCtes(terms, slop, s"_$i")
     }.mkString(",\n")
+    val posSegment =
+      if (phraseTerms.isEmpty) "" else s"$ctePosToks,\n$phraseCtes,\n"
     val phrasePreds = phraseTerms.indices
       .map(i => s"\n    AND p.doc_id IN (SELECT doc_id FROM mm_$i)").mkString
     val exclPred =
       if (excl.isEmpty) ""
       else "\n    AND p.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN (" +
         excl.map(t => s"'$t'").mkString(", ") + "))"
+    // field predicates live on the transcripts row (role/tool); docs keeps
+    // (conv_id, turn_idx) which identify it uniquely
+    val fieldPred =
+      if (pq.fields.isEmpty) ""
+      else "\n    AND p.doc_id IN (SELECT d.doc_id FROM docs d " +
+        "JOIN transcripts tr ON d.conv_id = tr.conv_id AND d.turn_idx = tr.turn_idx " +
+        "WHERE " + pq.fields.map { case (f, v) => s"tr.$f = '$v'" }.mkString(" AND ") + ")"
     val k1 = cfg.params.k1
     val b = cfg.params.b
     s"""WITH $cteTranscripts,
        |$cteDocs,
        |$cteTokens,
-       |$ctePosToks,
-       |$phraseCtes,
-       |q AS (SELECT term, CAST(SUM(qtf) AS INT) AS qtf FROM (
+       |${posSegment}q AS (SELECT term, CAST(SUM(qtf) AS INT) AS qtf FROM (
        |  $qBody
        |) GROUP BY 1),
        |mset AS (SELECT p.doc_id FROM post p JOIN q USING (term)
@@ -748,7 +767,7 @@ object SparkEntry {
        |  FROM post p
        |  JOIN q USING (term) JOIN tstat t USING (term) JOIN dstat d USING (doc_id)
        |  CROSS JOIN corpus c
-       |  WHERE p.doc_id IN (SELECT doc_id FROM mset)$phrasePreds$exclPred),
+       |  WHERE p.doc_id IN (SELECT doc_id FROM mset)$phrasePreds$exclPred$fieldPred),
        |scores AS (SELECT doc_id, round(sum(x), 4) AS score FROM contrib GROUP BY 1)
        |SELECT CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS INT) AS rank,
        |       s.doc_id, s.score, d.conv_id, d.turn_idx, d.text
@@ -980,6 +999,8 @@ object SparkEntry {
       "bm25_prefix_q1" -> bm25PrefixOracleSql(prefixQuery))
     val searchQs = mixedSet.map { case (qid, (text, m)) =>
       s"bm25_mixed_$qid" -> composedOracleSql(text, m)
+    } ++ fieldSet.map { case (qid, (text, m)) =>
+      s"bm25_field_$qid" -> composedOracleSql(text, m)
     }
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>

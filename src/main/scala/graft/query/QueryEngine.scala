@@ -689,14 +689,18 @@ object QueryEngine {
       free: Seq[String],
       phrases: Seq[(String, Int)],
       excluded: Seq[String],
-      prefixes: Seq[String])
+      prefixes: Seq[String],
+      fields: Seq[(String, String)] = Nil)
 
   private val PhraseRe = """"([^"]*)"(?:~(\d+))?""".r
+  private val FieldRe = """^([a-z_]+):(.+)$""".r
 
   /** Parse the search-box grammar. Quoted segments become phrases (an
     * empty or blank quote is dropped); of the remaining whitespace tokens,
-    * `-tok` excludes, `tok*` is a prefix wildcard, anything else is a free
-    * term. A stray unmatched quote is treated as whitespace.
+    * `field:value` (Lucene fielded-term syntax — lowercase field name)
+    * filters on a document metadata column, `-tok` excludes, `tok*` is a
+    * prefix wildcard, anything else is a free term. A stray unmatched
+    * quote is treated as whitespace.
     */
   def parseQuery(query: String): ParsedQuery = {
     val phrases = PhraseRe.findAllMatchIn(query).map { mm =>
@@ -704,9 +708,14 @@ object QueryEngine {
     }.filter(_._1.trim.nonEmpty).toSeq
     val rest = PhraseRe.replaceAllIn(query, " ").replace("\"", " ")
     val toks = rest.split("\\s+").toSeq.filter(_.nonEmpty)
-    val (neg, pos) = toks.partition(t => t.length > 1 && t.startsWith("-"))
+    val (fieldToks, rest2) = toks.partition {
+      case FieldRe(_, _) => true
+      case _ => false
+    }
+    val fields = fieldToks.collect { case FieldRe(f, v) => (f, v) }
+    val (neg, pos) = rest2.partition(t => t.length > 1 && t.startsWith("-"))
     val (wild, plain) = pos.partition(t => t.length > 1 && t.endsWith("*"))
-    ParsedQuery(plain, phrases, neg.map(_.drop(1)), wild)
+    ParsedQuery(plain, phrases, neg.map(_.drop(1)), wild, fields)
   }
 
   /** The unified serving entry point: one call accepting the full
@@ -735,9 +744,23 @@ object QueryEngine {
     *                                   semi-join-prune the term postings;
     *                                   exclusions anti-join; msm on the
     *                                   per-doc distinct-match count)
+    *   - `field:value` anywhere      → filter-then-rank through
+    *                                   [[composedTopK]]: the doc metadata
+    *                                   relation (`docs`, REQUIRED then) is
+    *                                   filtered on the named columns —
+    *                                   predicate pushed to its parquet —
+    *                                   and doc-level-prunes the candidates.
+    *                                   Stats stay corpus-wide (Lucene
+    *                                   filter semantics, not a sub-corpus
+    *                                   rebuild).
     * Every route is bounded by the query terms' postings — never a corpus
     * scan — and the same plan shapes the dedicated APIs are plan-asserted
     * to have.
+    *
+    * @param docs the live documents view ([[graft.index.IndexStore.Index.docs]]
+    *             as a DataFrame) — only needed for `field:value` queries;
+    *             being the LIVE view it also carries tombstone filtering
+    *             for the fielded path.
     */
   def search(
       spark: SparkSession,
@@ -748,10 +771,18 @@ object QueryEngine {
       k: Int,
       minShouldMatch: Int = 1,
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
-      tombstones: TombstoneSet = TombstoneSet.empty
+      tombstones: TombstoneSet = TombstoneSet.empty,
+      docs: Option[DataFrame] = None
   ): DataFrame = {
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1, got $minShouldMatch")
     val pq = parseQuery(query)
+    val fieldFilter: Option[DataFrame] = if (pq.fields.isEmpty) None else {
+      val d = docs.getOrElse(throw new IllegalArgumentException(
+        s"query [$query] has field predicates ${pq.fields.map(f => f._1 + ":" + f._2)} " +
+          "— pass the docs relation"))
+      Some(pq.fields.foldLeft(d) { case (acc, (f, v)) => acc.filter(col(f) === v) }
+        .select(col("docId")))
+    }
     val stems = analyzePrefixStems(pq.prefixes.map(_.dropRight(1)))
     val expanded = expandPrefixes(spark, termStats, stems)
     val literal = Analyzer.analyzeQuery(
@@ -769,7 +800,10 @@ object QueryEngine {
     // analyzed terms)
     def posText = positive.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" ")
 
-    if (pq.phrases.isEmpty) {
+    if (fieldFilter.nonEmpty) {
+      composedTopK(spark, blocks, termStats, corpus, positive, pq.phrases, excl,
+        m, k, cfg, tombstones, fieldFilter)
+    } else if (pq.phrases.isEmpty) {
       if (excl.isEmpty && m == 1)
         wandTopK(spark, blocks, termStats, corpus, posText, k, cfg, tombstones)
       else if (m == positive.size)
@@ -804,8 +838,16 @@ object QueryEngine {
     * MEASURED survivor count fits, else shuffle); exclusions are a
     * doc-level anti-join against the excluded terms' postings; everything
     * sits on the term-pushed block scan. Tombstones are enforced by the
-    * positional matcher inside every phrase filter (this path always has
-    * at least one phrase), so no candidate needs a second check.
+    * positional matcher inside every phrase filter, or — on the fielded
+    * path — by `docFilter` being derived from the LIVE docs view; every
+    * call has at least one of the two, so no candidate needs a second
+    * check.
+    *
+    * @param docFilter optional doc-level survivor relation (docId) — the
+    *        `field:value` filter-then-rank path. Joined as a plain (AQE-
+    *        adaptive) semi-join, never an unconditional broadcast: a field
+    *        predicate like role:user keeps a constant FRACTION of the
+    *        corpus, unlike a phrase's rarest-term-bounded survivor set.
     */
   private[graft] def composedTopK(
       spark: SparkSession,
@@ -818,10 +860,12 @@ object QueryEngine {
       m: Int,
       k: Int,
       cfg: IndexBuilder.Config,
-      tombstones: TombstoneSet
+      tombstones: TombstoneSet,
+      docFilter: Option[DataFrame] = None
   ): DataFrame = {
     import spark.implicits._
-    require(phrases.nonEmpty, "composedTopK is the >=1-phrase path")
+    require(phrases.nonEmpty || docFilter.nonEmpty,
+      "composedTopK needs a phrase or a doc filter (tombstone enforcement)")
     if (positive.isEmpty) return emptyScores(spark)
     // every phrase must match somewhere or the result is empty; persisted
     // (two consumers: size probe + semi-join), left to LRU eviction
@@ -850,11 +894,13 @@ object QueryEngine {
       .filter($"term".isin(live.map(_._1): _*))
       .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
       .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
-    val phrasePruned = matchSets.zip(counts).foldLeft(post) { case (acc, (ms, n)) =>
+    val phrasePruned0 = matchSets.zip(counts).foldLeft(post) { case (acc, (ms, n)) =>
       val survivors = ms.select($"docId")
       if (n <= PhraseBroadcastCap) acc.join(broadcast(survivors), Seq("docId"), "left_semi")
       else acc.join(survivors, Seq("docId"), "left_semi")
     }
+    val phrasePruned = docFilter.fold(phrasePruned0)(f =>
+      phrasePruned0.join(f.select($"docId"), Seq("docId"), "left_semi"))
     val exclLive = excluded.distinct
     val pruned =
       if (exclLive.isEmpty) phrasePruned

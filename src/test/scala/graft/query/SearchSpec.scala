@@ -223,4 +223,53 @@ class SearchSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(searchTop(idx, "the*") == want, "search() shares the fixed stem analysis")
   }
+
+  test("fielded search: role:/tool: filter-then-rank matches a scalar oracle") {
+    val turns = TranscriptGen.turns(seed = 125, nConvs = 40)
+    val idx = buildIndex(turns, "graft-search-field")
+    // role per docId, replicating the engine's stable (conv_id, turn_idx)
+    // id assignment over indexable turns
+    val byId = turns.filter(t => t.text != null && t.text.trim.nonEmpty)
+      .sortBy(t => (t.conv_id, t.turn_idx)).zipWithIndex
+      .map { case (t, i) => i.toLong -> t }.toMap
+    val c = OracleBM25.corpus(turns, cfg.analyzer)
+    def fieldedOracle(q: String, role: String): Seq[(Long, Double)] = {
+      val qterms = Analyzer.analyzeQuery(q, cfg.analyzer)
+        .filter { case (t, _) => c.postings.contains(t) }
+      val idf = qterms.map { case (t, _) => t -> Bm25.idf(c.n, c.postings(t).size) }.toMap
+      c.docs.map(_._1)
+        .filter(d => byId(d).role == role &&
+          qterms.exists { case (t, _) => c.postings(t).contains(d) })
+        .map { d =>
+          var s = 0.0
+          qterms.foreach { case (t, qtf) =>
+            c.postings(t).get(d).foreach(tf =>
+              s += Bm25.contribution(qtf, idf(t), tf, c.dl(d), c.avgdl, cfg.params))
+          }
+          (d, s)
+        }.sortBy { case (d, s) => (-s, d) }.take(10)
+    }
+    def searchDocs(q: String): Seq[(Long, Double)] =
+      rows(QueryEngine.search(spark, idx.blocks, idx.termStats, idx.corpus, q,
+        10, 1, cfg, graft.index.TombstoneSet.empty, Some(idx.docs.toDF())))
+    val got = searchDocs("role:user term0000 term0001")
+    val want = fieldedOracle("term0000 term0001", "user")
+    assert(got == want, "fielded top-k must equal the role-filtered oracle")
+    assert(got.nonEmpty, "vacuous fielded fixture")
+    // every hit really has the role; stats stayed corpus-wide (scores are a
+    // SUBSET of the unfiltered ranking's scores, not recomputed)
+    got.foreach { case (d, _) => assert(byId(d).role == "user") }
+    val unfiltered = rows(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+      idx.corpus, "term0000 term0001", 10000, cfg)).toMap
+    got.foreach { case (d, s) => assert(unfiltered(d) == s,
+      "fielded scores must equal the corpus-wide-stats scores") }
+    // parser surface + guard
+    val pq = QueryEngine.parseQuery("role:user \"a b\" tool:bash x")
+    assert(pq.fields == Seq(("role", "user"), ("tool", "bash")))
+    assert(pq.free == Seq("x") && pq.phrases == Seq(("a b", 0)))
+    intercept[IllegalArgumentException] {
+      QueryEngine.search(spark, idx.blocks, idx.termStats, idx.corpus,
+        "role:user x", 10, 1, cfg)
+    }
+  }
 }
