@@ -153,4 +153,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SparkEntry.queries("doc_lookup")(spark, dir))
     assert(p.contains("PushedFilters: [IsNotNull(docId), EqualTo(docId,123)"), p)
   }
+
+  test("fielded search pushes the field predicate to the docs parquet") {
+    val idx = SparkEntry.index(spark, dir)
+    val p = plan(QueryEngine.search(spark, idx.blocks, idx.termStats, idx.corpus,
+      "role:user data spark", 10, 1, SparkEntry.cfg, idx.tombstoneSet,
+      Some(idx.docs.toDF())))
+    assert(p.contains("PushedFilters: [In(term"), p) // block scan stays term-pushed
+    assert(p.contains("EqualTo(role,user)"),
+      "role predicate did not reach the docs parquet scan:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("composed search keeps the term-pushed scan and the top-k finish") {
+    val idx = SparkEntry.index(spark, dir)
+    val p = plan(QueryEngine.search(spark, idx.blocks, idx.termStats, idx.corpus,
+      "\"data stream\"~1 spark -join", 10, 1, SparkEntry.cfg, idx.tombstoneSet))
+    assert(p.contains("PushedFilters: [In(term"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
