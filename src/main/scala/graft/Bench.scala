@@ -79,20 +79,32 @@ object Bench {
     import java.util.concurrent.{Executors, TimeUnit}
     val pool = Executors.newFixedThreadPool(threads)
     val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
     (0 until threads).foreach { t =>
       pool.submit(new Runnable {
-        def run(): Unit = (0 until reps).foreach { r =>
-          val q = queries((t + r) % queries.size)
-          val sec = time(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
-            idx.corpus, q, 10, cfg, idx.tombstoneSet).collect())._2
-          lats.add(sec)
+        def run(): Unit = {
+          // one scheduler pool per client (thread-local property): with
+          // FAIR mode but no pool assignment every job lands in the
+          // 'default' pool, which is internally FIFO — jobs would queue
+          // exactly as before and the keys would mislabel FIFO queueing
+          // as fair-shared serving
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$t")
+          (0 until reps).foreach { r =>
+            val q = queries((t + r) % queries.size)
+            // per-query catch: a swallowed failure would silently shrink
+            // the sample and flatter the percentiles
+            try lats.add(time(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats,
+              idx.corpus, q, 10, cfg, idx.tombstoneSet).collect())._2)
+            catch { case _: Throwable => failures.incrementAndGet(): Unit }
+          }
         }
       })
     }
     pool.shutdown()
     pool.awaitTermination(30, TimeUnit.MINUTES)
     import scala.jdk.CollectionConverters._
-    lats.asScala.toSeq
+    if (failures.get() > 0) Nil // poison: main reports -1 like other keys
+    else lats.asScala.toSeq
   }
 
   private def time[A](f: => A): (A, Double) = {
@@ -229,7 +241,7 @@ object Bench {
         val idx = SparkEntry.index(spark, sfDir)
         val lats = concurrentLats(spark, idx, concTexts, threads = 8, reps = 4,
           SparkEntry.cfg)
-        (p(lats, 0.50), p(lats, 0.95))
+        if (lats.isEmpty) (-1.0, -1.0) else (p(lats, 0.50), p(lats, 0.95))
       } catch { case _: Throwable => (-1.0, -1.0) }
     spark.stop()
 

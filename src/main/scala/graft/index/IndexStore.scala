@@ -681,6 +681,13 @@ object IndexStore {
     */
   val TombstoneCap = 100000000L
 
+  /** Above this many tombstones the live-docs anti join stops hinting a
+    * broadcast of the RAW (docId) relation (8+ B/id hashed on the driver —
+    * ~80 MB here) and lets AQE plan it; the compressed TombstoneSet is
+    * unaffected (it has its own one-per-index broadcast).
+    */
+  val DocsAntiJoinBroadcastCap = 10000000L
+
   /** Delete documents from a live index — the missing half of incremental:
     * a training-data pipeline dedups and redacts continuously (e.g. the
     * complement of a dedup keep-set), and must not rebuild to do it.
@@ -1100,12 +1107,20 @@ object IndexStore {
     require(tombstoneSet.size <= TombstoneCap,
       s"index at $dir carries ${tombstoneSet.size} tombstones " +
         s"(> TombstoneCap=$TombstoneCap) — compact it before serving")
-    // the live docs view: deletes are invisible to every consumer (the
-    // tiny tombstone relation broadcasts into the anti join)
+    // the live docs view: deletes are invisible to every consumer. The
+    // broadcast hint into the anti join is SIZE-GATED: the raw (docId)
+    // relation costs 8+ B/id hashed on the driver, so above the gate
+    // (~80 MB) the join degrades to a plain (AQE-planned) anti join
+    // instead of re-creating the driver-stress scenario the old 10M
+    // TombstoneCap existed to refuse — the 100M cap is only safe for the
+    // COMPRESSED TombstoneSet, not for this relation
     val docs =
       if (tombstoneSet.isEmpty) rawDocs
+      else if (tombstoneSet.size <= DocsAntiJoinBroadcastCap)
+        rawDocs.toDF()
+          .join(broadcast(tombstones), Seq("docId"), "left_anti").as[Doc]
       else rawDocs.toDF()
-        .join(broadcast(tombstones), Seq("docId"), "left_anti").as[Doc]
+        .join(tombstones, Seq("docId"), "left_anti").as[Doc]
     val termStats =
       if (m.termstatsDir.isEmpty) spark.emptyDataset[TermStat]
       else spark.read.parquet(s"$dir/${m.termstatsDir}").as[TermStat]

@@ -695,6 +695,13 @@ object QueryEngine {
   private val PhraseRe = """"([^"]*)"(?:~(\d+))?""".r
   private val FieldRe = """^([a-z_]+):(.+)$""".r
 
+  /** Largest accepted `~slop`: beyond it proximity is effectively "both
+    * terms anywhere in the doc" and the per-start chain bound
+    * `(n-1)+slop` must not overflow. Oversized (or unparseable) slops
+    * clamp here instead of crashing the serving entry point.
+    */
+  val MaxSlop = 1 << 20
+
   /** Parse the search-box grammar. Quoted segments become phrases (an
     * empty or blank quote is dropped); of the remaining whitespace tokens,
     * `field:value` (Lucene fielded-term syntax — lowercase field name)
@@ -704,7 +711,8 @@ object QueryEngine {
     */
   def parseQuery(query: String): ParsedQuery = {
     val phrases = PhraseRe.findAllMatchIn(query).map { mm =>
-      (mm.group(1), Option(mm.group(2)).map(_.toInt).getOrElse(0))
+      (mm.group(1), Option(mm.group(2))
+        .map(s => s.toIntOption.getOrElse(MaxSlop).min(MaxSlop)).getOrElse(0))
     }.filter(_._1.trim.nonEmpty).toSeq
     val rest = PhraseRe.replaceAllIn(query, " ").replace("\"", " ")
     val toks = rest.split("\\s+").toSeq.filter(_.nonEmpty)
@@ -775,11 +783,25 @@ object QueryEngine {
       docs: Option[DataFrame] = None
   ): DataFrame = {
     require(minShouldMatch >= 1, s"minShouldMatch must be >= 1, got $minShouldMatch")
-    val pq = parseQuery(query)
+    val pq0 = parseQuery(query)
+    // forgiveness for accidental colons (Lucene-style search boxes see
+    // URLs, 're:deploy', field typos): only tokens naming an ACTUAL doc
+    // metadata column act as filters; the rest fall back to plain text
+    // ('http://x' searches the terms http/x instead of crashing on an
+    // unresolved column)
+    val (knownFields, strayFields) = docs match {
+      case Some(d) => pq0.fields.partition { case (f, _) => d.columns.contains(f) }
+      case None => (Nil, pq0.fields)
+    }
+    if (pq0.fields.nonEmpty && docs.isEmpty)
+      throw new IllegalArgumentException(
+        s"query [$query] has field predicates ${pq0.fields.map(f => f._1 + ":" + f._2)} " +
+          "— pass the docs relation")
+    val pq = pq0.copy(
+      free = pq0.free ++ strayFields.map { case (f, v) => s"$f $v" },
+      fields = knownFields)
     val fieldFilter: Option[DataFrame] = if (pq.fields.isEmpty) None else {
-      val d = docs.getOrElse(throw new IllegalArgumentException(
-        s"query [$query] has field predicates ${pq.fields.map(f => f._1 + ":" + f._2)} " +
-          "— pass the docs relation"))
+      val d = docs.get
       Some(pq.fields.foldLeft(d) { case (acc, (f, v)) => acc.filter(col(f) === v) }
         .select(col("docId")))
     }
@@ -793,6 +815,15 @@ object QueryEngine {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     val excl = pq.excluded.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
     val m = minShouldMatch
+    // a filter-only query ('role:user', no terms) is a match-all under the
+    // filter: constant score 0, docId order — Lucene's MatchAllDocsQuery +
+    // filter shape, not an empty result
+    if (positive.isEmpty && fieldFilter.nonEmpty && excl.isEmpty &&
+        pq.phrases.isEmpty) {
+      import spark.implicits._
+      return fieldFilter.get.select($"docId", lit(0.0).as("score"))
+        .orderBy($"docId".asc).limit(k)
+    }
     // more required matches than distinct positive terms is unsatisfiable
     if (positive.isEmpty || m > positive.size) return emptyScores(spark)
     // re-synthesized token stream carrying the exact (term, qtf) weights
@@ -1005,55 +1036,14 @@ object QueryEngine {
       cfg: IndexBuilder.Config = IndexBuilder.Config(),
       tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
-    import spark.implicits._
-    // persisted: consumed by the size probe below AND the semi-join
-    // (tombstoned docs already dropped inside the positional matcher, so
-    // the survivor semi-join prunes them from the term postings too)
-    val matches = phraseMatches(spark, blocks, phrase, cfg, 0, tombstones)
-      .getOrElse(return emptyScores(spark)).persist()
-    val nMatches = matches.count()
-    if (nMatches == 0) { matches.unpersist(); return emptyScores(spark) }
-    val analyzed = Analyzer.analyzeQuery(freeTerms + " " + phrase, cfg.analyzer)
-    val names = analyzed.map(_._1)
-    val idfs: Map[String, Double] = termStats
-      .filter($"term".isin(names: _*))
-      .collect().map(t => t.term -> t.idf).toMap
-    val live = analyzed.filter { case (t, _) => idfs.contains(t) }
-    if (live.isEmpty) { matches.unpersist(); return emptyScores(spark) }
-    val qdf = broadcast(live.map { case (t, qtf) => (t, qtf, idfs(t)) }
-      .toDF("term", "qtf", "idf"))
-    val p = cfg.params
-    // postings of the query's terms via the SQL-visible block decode (term
-    // predicate pushed; positions column never read)
-    val post = scoringBlocks(blocks).toDF()
-      .filter($"term".isin(names: _*))
-      .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
-      .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
-    // the phrase-survivor set is bounded by the rarest phrase term and a
-    // quoted phrase is selective by construction — broadcast it (when the
-    // MEASURED count allows) so the potentially head-term-sized decoded
-    // postings are pruned in place instead of shuffle-exchanged into a
-    // sort-merge semi-join; a phrase of pure head terms whose survivor set
-    // exceeds the cap degrades to the shuffle join instead of blowing the
-    // driver with an unconditional broadcast hint
-    val survivors = matches.select($"docId")
-    val prunedPost =
-      if (nMatches <= PhraseBroadcastCap)
-        post.join(broadcast(survivors), Seq("docId"), "left_semi")
-      else post.join(survivors, Seq("docId"), "left_semi")
-    prunedPost
-      .join(qdf, Seq("term"))
-      .withColumn("contrib",
-        contributionCol($"qtf", $"idf", $"tf", $"dl", corpus.avgdl, p))
-      // deterministic per-doc fold in ascending term order (same shape as
-      // exhaustiveTopK — never more elements than query terms)
-      .groupBy($"docId")
-      .agg(collect_list(struct($"term", $"contrib")).as("cs"))
-      .select($"docId",
-        aggregate(array_sort($"cs"), lit(0.0),
-          (acc, x) => acc + x.getField("contrib")).as("score"))
-      .orderBy($"score".desc, $"docId".asc)
-      .limit(k)
+    // the single-phrase case of the general composed plan — ONE
+    // implementation of the decode → measured-broadcast semi-join →
+    // ascending-term BM25 fold pipeline, so the rank-identity-bearing
+    // fold and the PhraseBroadcastCap degrade rule cannot drift between
+    // this route and search()'s composed route
+    val positive = Analyzer.analyzeQuery(freeTerms + " " + phrase, cfg.analyzer)
+    composedTopK(spark, blocks, termStats, corpus, positive,
+      Seq((phrase, 0)), Nil, 1, k, cfg, tombstones)
   }
 
   /** The lazy (un-persisted) phrase match relation (docId, tfp, dl) —

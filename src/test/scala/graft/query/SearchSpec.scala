@@ -272,4 +272,29 @@ class SearchSpec extends AnyFunSuite {
         "role:user x", 10, 1, cfg)
     }
   }
+
+  test("grammar robustness: stray colons forgiven, filter-only match-all, slop clamp") {
+    val turns = TranscriptGen.turns(seed = 126, nConvs = 20)
+    val idx = buildIndex(turns, "graft-search-robust")
+    val docsDf = Some(idx.docs.toDF())
+    def s(q: String) = rows(QueryEngine.search(spark, idx.blocks, idx.termStats,
+      idx.corpus, q, 10, 1, cfg, graft.index.TombstoneSet.empty, docsDf))
+    // a colon token NOT naming a doc column falls back to plain text
+    assert(s("roles:user term0000") ==
+      rows(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats, idx.corpus,
+        "roles user term0000", 10, cfg)),
+      "typo'd field must degrade to free text, not crash")
+    assert(s("http://example.com term0000").nonEmpty)
+    // filter-only query = match-all under the filter (constant score 0,
+    // docId order), not an empty result
+    val only = s("role:user")
+    assert(only.nonEmpty && only.forall(_._2 == 0.0))
+    val ids = idx.docs.toDF().filter(org.apache.spark.sql.functions.col("role") === "user")
+      .select("docId").collect().map(_.getLong(0)).sorted.take(10).toSeq
+    assert(only.map(_._1) == ids, "filter-only must return the filtered docs in docId order")
+    // an oversized ~slop clamps instead of crashing the parse
+    assert(s("\"term0000 term0001\"~99999999999") ==
+      rows(QueryEngine.phraseTopK(spark, idx.blocks, idx.corpus,
+        "term0000 term0001", 10, cfg, QueryEngine.MaxSlop)))
+  }
 }
