@@ -351,6 +351,30 @@ object SparkEntry {
     finish(top, idx.docs, k)
   }
 
+  /** Batched unified-grammar fixture: plain + wildcard queries share one
+    * WAND job; the composed and fielded ones union in — the serving shape
+    * for a request batch over the single search box.
+    */
+  private[graft] val batchSearchSet: Seq[(String, String)] = Seq(
+    "s1" -> "spark join data",
+    "s2" -> "dat* join",
+    "s3" -> "query \"data stream\"~2 -batch join",
+    "s4" -> "role:user spark join data")
+
+  /** A unified-grammar batch in as few jobs as possible, per-qid
+    * round->rank like `bm25_batch`.
+    */
+  private[graft] def bm25SearchBatch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val idx = index(s, dir)
+    val top = QueryEngine.searchBatch(s, idx.blocks, idx.termStats, idx.corpus,
+      batchSearchSet, WandFetchK, 1, cfg, idx.tombstoneSet, Some(idx.docs.toDF()))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("docId").asc)
+    top.withColumn("score", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("docId").as("doc_id"), col("score"))
+  }
+
   /** All reference queries scored in ONE job (shared scan + decode),
     * per-qid round→rank like `finish`.
     */
@@ -474,7 +498,8 @@ object SparkEntry {
       s"bm25_field_$qid" -> ((s: SparkSession, dir: String) => bm25Search(s, dir, text, m))
     }
     val batchQ = Map(
-      "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)))
+      "bm25_batch" -> ((s: SparkSession, dir: String) => bm25Batch(s, dir)),
+      "search_batch" -> ((s: SparkSession, dir: String) => bm25SearchBatch(s, dir)))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
       slopQ ++ msmQ ++ searchQs ++ batchQ
   }
@@ -1005,6 +1030,9 @@ object SparkEntry {
     val batchOracle = Map(
       "bm25_batch" -> querySet.map { case (qid, text) =>
         s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${bm25OracleSql(text)}\n)"
+      }.mkString("\nUNION ALL\n"),
+      "search_batch" -> batchSearchSet.map { case (qid, text) =>
+        s"SELECT '$qid' AS qid, rank, doc_id, score FROM (\n${composedOracleSql(text, 1)}\n)"
       }.mkString("\nUNION ALL\n"))
     base ++ bm25Qs ++ servingQs ++ phraseQs ++ mixedQ ++ andQs ++ deletedQs ++
       lifecycleOracles ++ slopQ ++ msmQ ++ searchQs ++ batchOracle

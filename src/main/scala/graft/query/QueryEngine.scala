@@ -390,19 +390,31 @@ object QueryEngine {
       spark: SparkSession,
       termStats: Dataset[TermStat],
       prefixes: Seq[(String, Int)]): Seq[(String, Int)] = {
+    val byStem = expandStems(spark, termStats, prefixes.map(_._1))
+    prefixes.flatMap { case (p, qtf) =>
+      byStem.getOrElse(p, Nil).map(_ -> qtf)
+    }
+  }
+
+  /** The one dictionary scan behind every wildcard expansion: per-stem
+    * capped term lists, all stems in ONE job (union of predicate-pushed
+    * capped scans). Shared by the single-query paths and [[searchBatch]],
+    * which expands every query's stems together.
+    */
+  private def expandStems(
+      spark: SparkSession,
+      termStats: Dataset[TermStat],
+      stems: Seq[String]): Map[String, Seq[String]] = {
     import spark.implicits._
-    if (prefixes.isEmpty) return Nil
-    val scans = prefixes.map { case (p, _) =>
+    if (stems.isEmpty) return Map.empty
+    val scans = stems.distinct.map { p =>
       termStats.filter($"term".startsWith(p)).select($"term")
         .orderBy($"term").limit(PrefixExpansionCap)
         .withColumn("pfx", lit(p))
     }
-    val rows = scans.reduce(_ unionByName _).collect()
-    val byPfx = rows.groupBy(_.getString(1))
-    prefixes.flatMap { case (p, qtf) =>
-      byPfx.getOrElse(p, Array.empty[org.apache.spark.sql.Row])
-        .map(_.getString(0) -> qtf)
-    }
+    scans.reduce(_ unionByName _).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getString(0)).toSeq.sorted).toMap
   }
 
   /** Max dictionary terms a single trailing-`*` token may expand to —
@@ -856,6 +868,67 @@ object QueryEngine {
     } else {
       composedTopK(spark, blocks, termStats, corpus, positive, pq.phrases, excl,
         m, k, cfg, tombstones)
+    }
+  }
+
+  /** Batched unified search — a whole request batch through the one
+    * search-box grammar in as few jobs as possible: queries that reduce to
+    * plain disjunctive WAND after parsing (no phrases / exclusions /
+    * fields; wildcards are fine — every query's stems expand in ONE
+    * dictionary scan) share a single [[wandTopKBatch]] job (shared block
+    * scan + per-shard decode memo, the measured ~3× amortization of the
+    * per-job scheduler floor); the rest run their routed plans and union
+    * in. Returns (qid, docId, score), per-qid top-k, each qid identical to
+    * a [[search]] call with the same text (property-tested).
+    *
+    * `minShouldMatch` applies to every query in the batch (callers with
+    * per-query msm issue those queries separately).
+    */
+  def searchBatch(
+      spark: SparkSession,
+      blocks: Dataset[PostingBlock],
+      termStats: Dataset[TermStat],
+      corpus: CorpusStats,
+      queries: Seq[(String, String)],
+      k: Int,
+      minShouldMatch: Int = 1,
+      cfg: IndexBuilder.Config = IndexBuilder.Config(),
+      tombstones: TombstoneSet = TombstoneSet.empty,
+      docs: Option[DataFrame] = None
+  ): DataFrame = {
+    import spark.implicits._
+    def empty: DataFrame =
+      spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
+    val parsed = queries.map { case (qid, q) => (qid, q, parseQuery(q)) }
+    val (plain, other) =
+      if (minShouldMatch == 1)
+        parsed.partition { case (_, _, pq) =>
+          pq.phrases.isEmpty && pq.excluded.isEmpty && pq.fields.isEmpty
+        }
+      else (Nil, parsed)
+    // every plain query's wildcard stems expand in one dictionary scan
+    val stems: Map[String, Seq[(String, Int)]] = plain.map { case (qid, _, pq) =>
+      qid -> analyzePrefixStems(pq.prefixes.map(_.dropRight(1)))
+    }.toMap
+    val byStem = expandStems(spark, termStats, stems.values.flatten.map(_._1).toSeq)
+    val plainTexts: Seq[(String, String)] = plain.flatMap { case (qid, _, pq) =>
+      val expanded = stems(qid).flatMap { case (p, qtf) =>
+        byStem.getOrElse(p, Nil).map(_ -> qtf)
+      }
+      val positive = (Analyzer.analyzeQuery(pq.free.mkString(" "), cfg.analyzer) ++
+        expanded).groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      if (positive.isEmpty) None
+      else Some(qid -> positive.flatMap { case (t, n) => Seq.fill(n)(t) }.mkString(" "))
+    }
+    val batched =
+      if (plainTexts.isEmpty) empty
+      else wandTopKBatch(spark, blocks, termStats, corpus, plainTexts, k, cfg,
+        tombstones)
+    other.foldLeft(batched) { case (acc, (qid, q, _)) =>
+      acc.unionByName(
+        search(spark, blocks, termStats, corpus, q, k, minShouldMatch, cfg,
+          tombstones, docs)
+          .select(lit(qid).as("qid"), $"docId", $"score"))
     }
   }
 

@@ -297,4 +297,28 @@ class SearchSpec extends AnyFunSuite {
       rows(QueryEngine.phraseTopK(spark, idx.blocks, idx.corpus,
         "term0000 term0001", 10, cfg, QueryEngine.MaxSlop)))
   }
+
+  test("searchBatch: every qid identical to its single search() call") {
+    val turns = TranscriptGen.turns(seed = 127, nConvs = 30)
+    val idx = buildIndex(turns, "graft-search-batch")
+    val docsDf = Some(idx.docs.toDF())
+    val batch = Seq(
+      "b1" -> "term0000 term0001 term0002", // plain -> shared WAND job
+      "b2" -> "term000* term0042", // wildcard -> expanded into the batch
+      "b3" -> "\"term0000 term0001\" term0002 -term0005", // composed
+      "b4" -> "role:user term0000 term0001", // fielded
+      "b5" -> "zzznotaterm") // empty result
+    val got = QueryEngine.searchBatch(spark, idx.blocks, idx.termStats, idx.corpus,
+      batch, 10, 1, cfg, graft.index.TombstoneSet.empty, docsDf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).toSeq).toMap
+    var nonEmpty = 0
+    batch.foreach { case (qid, q) =>
+      val single = rows(QueryEngine.search(spark, idx.blocks, idx.termStats,
+        idx.corpus, q, 10, 1, cfg, graft.index.TombstoneSet.empty, docsDf))
+      assert(got.getOrElse(qid, Nil) == single, s"batch/single mismatch for $qid [$q]")
+      if (single.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 4, "batch fixtures mostly empty — vacuous")
+  }
 }
