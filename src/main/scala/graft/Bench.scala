@@ -101,9 +101,12 @@ object Bench {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(30, TimeUnit.MINUTES)
+    val finished = pool.awaitTermination(30, TimeUnit.MINUTES)
     import scala.jdk.CollectionConverters._
-    if (failures.get() > 0) Nil // poison: main reports -1 like other keys
+    // poison on ANY incompleteness: a timeout truncates exactly the
+    // slowest tail queries, which would flatter the percentiles the same
+    // way a swallowed failure does — main reports -1 like other keys
+    if (!finished || failures.get() > 0) Nil
     else lats.asScala.toSeq
   }
 

@@ -184,6 +184,10 @@ object QueryEngine {
       tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     import spark.implicits._
+    // a duplicated qid would merge two queries' candidates in the per-qid
+    // window finish — reject instead of silently corrupting the top-k
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate qids in batch: ${queries.map(_._1)}")
     def empty: DataFrame =
       spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
     val analyzed = queries.map { case (id, q) => id -> Analyzer.analyzeQuery(q, cfg.analyzer) }
@@ -827,13 +831,25 @@ object QueryEngine {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     val excl = pq.excluded.flatMap(t => Analyzer.tokenize(t, cfg.analyzer)).distinct
     val m = minShouldMatch
-    // a filter-only query ('role:user', no terms) is a match-all under the
-    // filter: constant score 0, docId order — Lucene's MatchAllDocsQuery +
-    // filter shape, not an empty result
-    if (positive.isEmpty && fieldFilter.nonEmpty && excl.isEmpty &&
-        pq.phrases.isEmpty) {
+    // a filter-only query ('role:user', no scoring terms) is a match-all
+    // under the filter: constant score 0, docId order — Lucene's
+    // MatchAllDocsQuery + filter shape, not an empty result. '-term'
+    // exclusions still apply ('role:user -spark' = the user turns that
+    // don't contain spark), as a doc-level anti-join on the excluded
+    // terms' postings.
+    if (positive.isEmpty && fieldFilter.nonEmpty && pq.phrases.isEmpty) {
       import spark.implicits._
-      return fieldFilter.get.select($"docId", lit(0.0).as("score"))
+      val base = fieldFilter.get
+      val filtered =
+        if (excl.isEmpty) base
+        else {
+          val exclDocs = scoringBlocks(blocks).toDF()
+            .filter($"term".isin(excl: _*))
+            .select(explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
+            .select($"pp.docId".as("docId"))
+          base.join(exclDocs, Seq("docId"), "left_anti")
+        }
+      return filtered.select($"docId", lit(0.0).as("score"))
         .orderBy($"docId".asc).limit(k)
     }
     // more required matches than distinct positive terms is unsatisfiable
@@ -897,6 +913,10 @@ object QueryEngine {
       docs: Option[DataFrame] = None
   ): DataFrame = {
     import spark.implicits._
+    // duplicate qids would silently cross-wire the per-qid stems map and
+    // merge two queries' candidates under one window partition
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate qids in batch: ${queries.map(_._1)}")
     def empty: DataFrame =
       spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
     val parsed = queries.map { case (qid, q) => (qid, q, parseQuery(q)) }

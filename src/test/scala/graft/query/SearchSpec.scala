@@ -296,6 +296,24 @@ class SearchSpec extends AnyFunSuite {
     assert(s("\"term0000 term0001\"~99999999999") ==
       rows(QueryEngine.phraseTopK(spark, idx.blocks, idx.corpus,
         "term0000 term0001", 10, cfg, QueryEngine.MaxSlop)))
+    // filter-only WITH exclusions: the filtered docs minus the excluded
+    // term's docs, still constant-score match-all (not silently empty)
+    val exclOnly = s("role:user -term0000")
+    assert(exclOnly.nonEmpty && exclOnly.forall(_._2 == 0.0))
+    val c = OracleBM25.corpus(turns, cfg.analyzer)
+    val byId2 = turns.filter(t => t.text != null && t.text.trim.nonEmpty)
+      .sortBy(t => (t.conv_id, t.turn_idx)).zipWithIndex
+      .map { case (t, i) => i.toLong -> t }.toMap
+    val wantIds = c.docs.map(_._1)
+      .filter(d => byId2(d).role == "user" &&
+        !c.postings("term0000").contains(d)).sorted.take(10)
+    assert(exclOnly.map(_._1) == wantIds,
+      "filter-only + exclusion must anti-join the excluded term's docs")
+    // duplicate qids in a batch are rejected, not silently cross-wired
+    intercept[IllegalArgumentException] {
+      QueryEngine.searchBatch(spark, idx.blocks, idx.termStats, idx.corpus,
+        Seq("q" -> "dat*", "q" -> "spa*"), 10, 1, cfg)
+    }
   }
 
   test("searchBatch: every qid identical to its single search() call") {
