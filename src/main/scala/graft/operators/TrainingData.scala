@@ -86,12 +86,13 @@ object TrainingData {
     * stay shuffle-free.
     */
   def shingleSets(docs: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    // Shingles3 = array_distinct(transform(... array_join(slice(...)))) as
+    // ONE codegen kernel — same strings, same first-occurrence order,
+    // no per-shingle slice allocation (guide §1.2 step 2)
     val sh0 = docs
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))")))
-        .as("sh"))
+      .select(col("doc_id"), explode(graft.plans.Shingles3(col("toks"))).as("sh"))
     if (maxDf == Long.MaxValue) sh0
     else {
       val good = sh0.groupBy(col("sh")).agg(count(lit(1)).as("shdf"))
@@ -177,9 +178,14 @@ object TrainingData {
   def minhashLshPairs(docs: DataFrame, maxDf: Long = MaxShingleDf,
       cap: Long = BucketCap): DataFrame = {
     val sh = shingleSets(docs, maxDf).persist()
+    // all 16 hash prefixes in one digest-reusing kernel per shingle row;
+    // element i == substring(md5('i|'||sh), 1, 16) byte for byte
+    require(MinhashHashes == graft.plans.MinhashPrefixes.N,
+      "MinhashPrefixes kernel arity must match MinhashHashes")
     val minCols = (0 until MinhashHashes).map(i =>
-      min(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 16)).as(s"mh$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      min(element_at(col("mhs"), i + 1)).as(s"mh$i"))
+    val sig = sh.withColumn("mhs", graft.plans.MinhashPrefixes(col("sh")))
+      .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val banded = sig.select(col("doc_id"), posexplode(array(
         (0 until MinhashBands).map(b => md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))): _*))
       .as(Seq("band", "bucket")))
@@ -196,26 +202,20 @@ object TrainingData {
     * bit-identical in DuckDB.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("w"))
-    // bit signs are a function of the TERM alone: compute the 2 md5s + 64
-    // digit parities once per distinct vocabulary entry and join, instead
-    // of per (doc, term) row — at corpus scale posting rows outnumber the
-    // vocabulary by orders of magnitude
-    val tdict = tf.select(col("term")).distinct()
-      .withColumn("hx", concat(
-        md5(concat(lit("0|"), col("term"))), md5(concat(lit("1|"), col("term")))))
-      .select(col("term") +: (0 until 64).map(i =>
-        when(substring(col("hx"), i + 1, 1).isin(OddHexDigits: _*), lit(1))
-          .otherwise(lit(-1)).as(s"s$i")): _*)
-    val voteCols = (0 until 64).map(i => sum(col("w") * col(s"s$i")).as(s"b$i"))
-    val votes = tf.join(tdict, Seq("term"))
-      .groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-    val chunkCols = (0 until 4).map { c =>
-      (0 until 16).map(j => when(col(s"b${16 * c + j}") > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _).as(s"c$c")
-    }
-    votes.select(col("doc_id") +: chunkCols: _*)
+    // the whole signature IN-ROW (SimhashSig kernel): a doc's signature is
+    // a function of its own token counts and the pure per-term md5 sign
+    // vector, so the former explode → vocabulary join → 64-column vote
+    // aggregate (one shuffle + an aggregate wide enough to fall out of
+    // whole-stage codegen) collapses to a narrow map with ZERO exchanges
+    // (guide §2.4). The size > 0 filter reproduces the old explode's
+    // behavior exactly: token-less docs emitted no tf row and so had no
+    // signature.
+    docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), graft.plans.SimhashSig(col("tk")).as("sig"))
+      .select(col("doc_id") +: (0 until 4).map(c =>
+        element_at(col("sig"), c + 1).as(s"c$c")): _*)
   }
 
   /** SimHash near-dup pairs within Hamming distance 3: by pigeonhole a
@@ -256,12 +256,30 @@ object TrainingData {
 
   /** THE cosine-similarity expression (rounded to 4 dp), parameterized by
     * column name so every ANN/dedup path — and via [[cosineSql]] every
-    * oracle — uses one definition that cannot drift.
+    * oracle — uses one definition that cannot drift. [[graft.plans.DotProduct]]
+    * folds in index order, bit-identical to the former
+    * `aggregate(zip_with(...))` formulation (and to the oracle's
+    * list_transform/list_sum) but inside whole-stage codegen with no
+    * intermediate array.
     */
   private def cosineOf(a: String, b: String): Column = round(
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (sqrt(expr(s"aggregate($a, 0D, (acc, x) -> acc + x * x)")) *
-        sqrt(expr(s"aggregate($b, 0D, (acc, x) -> acc + x * x)"))), 4)
+    graft.plans.DotProduct(col(a), col(b)) /
+      (sqrt(graft.plans.DotProduct(col(a), col(a))) *
+        sqrt(graft.plans.DotProduct(col(b), col(b)))), 4)
+
+  /** Euclidean norm column — the per-VECTOR half of [[cosineOf]]. Pair
+    * paths compute it once per vector instead of once per PAIR: the value
+    * is the same IEEE double (same fold, same sqrt), so
+    * round(dot / (na * nb), 4) is bit-identical to [[cosineOf]].
+    */
+  private def normOf(v: String): Column =
+    sqrt(graft.plans.DotProduct(col(v), col(v)))
+
+  /** [[cosineOf]] with both norms precomputed (na = left vector's norm,
+    * nb = right's — the multiplication order [[cosineOf]] pins).
+    */
+  private def cosineWithNorms(a: String, b: String, na: String, nb: String): Column =
+    round(graft.plans.DotProduct(col(a), col(b)) / (col(na) * col(nb)), 4)
 
   private def cosineCol: Column = cosineOf("v", "qv")
 
@@ -287,13 +305,17 @@ object TrainingData {
     * from [[AnnPlanes]] md5-derived hyperplanes.
     */
   private def bucketCol(dims: Int): Column = (0 until AnnPlanes).map { j =>
-    val pos = planePositiveDims(j, dims)
-    val dot = expr(
-      s"""aggregate(zip_with(v, sequence(0, ${dims - 1}),
-         |  (x, d) -> CASE WHEN d IN (${pos.mkString(",")}) THEN x ELSE -x END),
-         |  0D, (acc, x) -> acc + x)""".stripMargin)
+    val pos = planePositiveDims(j, dims).toSet
+    // x * (+1.0|-1.0) is bit-identical to the former CASE (x | -x) element
+    // map, so the signed sum is the same index-order fold as before — but
+    // as one codegen dot product against a literal sign vector
+    val signs = (0 until dims).map(d => if (pos(d)) 1.0 else -1.0)
+    val dot = graft.plans.DotProduct(col("v"), typedLit(signs))
     when(round(dot, 6) >= 0, lit(1 << j)).otherwise(lit(0))
   }.reduce(_ + _)
+
+  /** Test/instrumentation access to [[bucketCol]]. */
+  private[graft] def debugBucketCol(dims: Int): Column = bucketCol(dims)
 
   /** LSH-bucketed ANN (the 100 TB-scale path): sign-random-projection
     * buckets from [[AnnPlanes]] md5-derived hyperplanes, multi-probed to
@@ -332,12 +354,14 @@ object TrainingData {
     * stored; recall vs [[annCosineTopK]] is measured in TrainingDataSpec.
     */
   def annIvfTopK(emb: DataFrame, k: Int = 10): DataFrame = {
+    // norms once per vector/centroid, not once per (vector, centroid) pair
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("nv", normOf("v"))
     val cents = e.filter(col("vec_id").between(1, IvfCentroids))
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
     val sims = e.crossJoin(broadcast(cents))
-      .withColumn("sim", cosineOf("v", "cv"))
+      .withColumn("sim", cosineWithNorms("v", "cv", "nv", "ncv"))
     // argmin by (sim desc, cid asc) without a window: max over a struct
     // whose field order is (sim, -cid) — partial-aggregable map-side
     val assigned = sims
@@ -366,8 +390,8 @@ object TrainingData {
     * encode/ADC metric (6 dp pins cross-engine fold-order noise, the same
     * rule every sketch here uses).
     */
-  private def l2Of(a: String, b: String): Column = round(
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"), 6)
+  private def l2Of(a: String, b: String): Column =
+    round(graft.plans.L2Sq(col(a), col(b)), 6)
 
   /** PQ sub-codebooks, deterministic and k-means-free: the sub-slices of
     * donor vectors 1..[[PqCodebookSize]] — the PQ twin of the IVF centroid
@@ -408,10 +432,11 @@ object TrainingData {
   def pqCodes(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("nv", normOf("v"))
     val cents = e.filter(col("vec_id").between(1, IvfCentroids))
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sim", cosineOf("v", "cv"))
+      .withColumn("sim", cosineWithNorms("v", "cv", "nv", "ncv"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("cid")).as("ncid"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
@@ -444,10 +469,11 @@ object TrainingData {
   def annIvfPqTopK(emb: DataFrame, k: Int = 10): DataFrame = {
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("nv", normOf("v"))
     val cents = e.filter(col("vec_id").between(1, IvfCentroids))
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
     val sims = e.crossJoin(broadcast(cents))
-      .withColumn("sim", cosineOf("v", "cv"))
+      .withColumn("sim", cosineWithNorms("v", "cv", "nv", "ncv"))
     val assigned = sims
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("cid")).as("ncid"), col("cid"), col("v"))).as("m"))
@@ -478,26 +504,61 @@ object TrainingData {
       .limit(k)
   }
 
-  /** Embedding-cosine near-dup pairs, LSH-bucketed: each vector is
-    * multi-probed into its Hamming<=1 bucket ball (5 keys), pairs come
-    * from the EQUI-join on the probe key (two vectors whose buckets differ
-    * by <=2 bits share a midpoint probe — never an n^2 nested-loop join),
-    * then the exact cosine filters candidates. Bucket overflow falls back
-    * to hub pairs like every other LSH path here.
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: candidates are pairs
+    * whose sign-projection buckets differ by <= 2·[[AnnProbeHamming]] bits,
+    * generated by a BROADCAST bucket-ring join — each in-ring ordered
+    * bucket pair (b_a, b_b) is one row of a tiny driver-built relation, so
+    * a candidate pair is emitted exactly ONCE by the equi-join chain
+    * (never an n^2 nested-loop join) — then the exact cosine filters.
+    *
+    * This replaces the round-5 formulation (explode each vector into its
+    * 5-probe Hamming ball, self-join on the probe key, dedup): the
+    * candidate SET is identical (two buckets within Hamming 2 always share
+    * a midpoint probe and vice versa — measured identical at sf0.1), but
+    * the probe scheme emitted every pair 2–5 times and paid an explode, a
+    * probe-bucket stats pass and a full distinct shuffle to undo the
+    * duplication. VERDICT r5's three-round watch item (guide §2.3: shuffle
+    * fewer bytes; §2.4: remove shuffles outright).
+    *
+    * Bucket overflow (> cap) degrades that bucket to hub pairs — every
+    * member against the bucket's min id, linear, still linking a giant
+    * near-dup cluster into one component — and keeps it out of the
+    * quadratic ring join; no-op at verify scale like every other guard.
     */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double = EmbCosineThreshold,
       cap: Long = BucketCap, dims: Int = 64): DataFrame = {
+    import emb.sparkSession.implicits._
     val e = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+      .withColumn("nv", normOf("v"))
       .withColumn("bucket", bucketCol(dims)).persist()
-    val probes = e.select(col("vec_id"), explode(array(
-        col("bucket") +: (0 until AnnPlanes).map(j =>
-          col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("probe"))
-    val cand = boundedPairs(probes, Seq("probe"), "vec_id", cap)
-    val va = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val vb = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .withColumn("cos", cosineOf("va", "vb"))
+    val nBuckets = 1 << AnnPlanes
+    val ring = for {
+      b1 <- 0 until nBuckets; b2 <- 0 until nBuckets
+      if java.lang.Integer.bitCount(b1 ^ b2) <= 2 * AnnProbeHamming
+    } yield (b1, b2)
+    val ringDf = broadcast(ring.toDF("ba", "bb"))
+    // <= 2^planes rows; broadcast so the cap probe costs no extra shuffle
+    val stats = e.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bkt_n"), min(col("vec_id")).as("bkt_hub"))
+    val withN = e.join(broadcast(stats), Seq("bucket"))
+    val small = withN.filter(col("bkt_n") <= cap)
+    val a = small.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nv").as("na"), col("bucket").as("ba"))
+    val b = small.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nv").as("nb"), col("bucket").as("bb"))
+    val ringPairs = a.join(ringDf, Seq("ba")).join(b, Seq("bb"))
+      .filter(col("id_a") < col("id_b"))
+    val hubPairs = withN.filter(col("bkt_n") > cap && col("vec_id") =!= col("bkt_hub"))
+      .select(col("bkt_hub").as("id_a"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nv").as("nb"))
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nv").as("na")), Seq("id_a"))
+    // a vector belongs to exactly one bucket and oversized buckets are
+    // excluded from the ring, so the union carries no duplicate pairs
+    ringPairs.select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+      .union(hubPairs.select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("cos", cosineWithNorms("va", "vb", "na", "nb"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

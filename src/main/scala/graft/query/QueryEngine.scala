@@ -147,12 +147,15 @@ object QueryEngine {
     val tsB = tombstones.broadcastVia(spark)
 
     // one task per core, several shards per task (scorePartition iterates
-    // shard groups); range partitioning keeps a shard's blocks together
+    // shard groups); HASH partitioning on shardId keeps a shard's blocks
+    // together exactly like the former repartitionByRange did, without the
+    // RangePartitioner's extra sampling pass over the filtered scan (one
+    // whole Spark job per query at serving latency)
     val parts = math.max(1, math.min(cfg.numShards,
       spark.sparkContext.defaultParallelism))
     val candidates = scoringBlocks(blocks)
       .filter($"term".isin(names: _*))
-      .repartitionByRange(parts, $"shardId")
+      .repartition(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         WandScorer.scorePartition(it.buffered, qtsB.value, kk, p.k1, p.b, avgdl,
@@ -214,7 +217,7 @@ object QueryEngine {
       spark.sparkContext.defaultParallelism))
     val candidates = scoringBlocks(blocks)
       .filter($"term".isin(liveNames: _*))
-      .repartitionByRange(parts, $"shardId")
+      .repartition(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         WandScorer.scorePartitionBatch(it.buffered, qB.value, kk, p.k1, p.b, avgdl,
@@ -346,7 +349,7 @@ object QueryEngine {
       spark.sparkContext.defaultParallelism))
     scoringBlocks(blocks)
       .filter($"term".isin(scanNames: _*))
-      .repartitionByRange(parts, $"shardId")
+      .repartition(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         ConjunctiveScorer.scorePartition(it.buffered, qtsB.value, exclB.value,
@@ -517,7 +520,7 @@ object QueryEngine {
       spark.sparkContext.defaultParallelism))
     scoringBlocks(blocks)
       .filter($"term".isin(scanNames: _*))
-      .repartitionByRange(parts, $"shardId")
+      .repartition(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         MsmScorer.scorePartition(it.buffered, qtsB.value, exclB.value, mm, kk,
@@ -1163,7 +1166,7 @@ object QueryEngine {
       spark.sparkContext.defaultParallelism))
     Some(blocks
       .filter($"term".isin(distinctTerms: _*))
-      .repartitionByRange(parts, $"shardId")
+      .repartition(parts, $"shardId")
       .sortWithinPartitions($"shardId", $"term", $"minDocId")
       .mapPartitions { it =>
         PhraseScorer.matchPartition(it.buffered, termsB.value, slop0, tsB.value)
