@@ -64,4 +64,22 @@ class CodecSpec extends AnyFunSuite {
       Codec.encode(Seq(Codec.P(5, 1, 1), Codec.P(5, 1, 1)))
     }
   }
+
+  test("encodeRaw is byte-identical to encode on random posting lists") {
+    val gen = for {
+      n <- Gen.choose(1, 128)
+      gaps <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+      tfs <- Gen.listOfN(n, Gen.choose(1, 500))
+      dls <- Gen.listOfN(n, Gen.choose(0, 5000))
+    } yield {
+      val ids = gaps.scanLeft(-1L)(_ + _).tail
+      (ids.toArray, tfs.toArray, dls.toArray)
+    }
+    forAllSeeded(gen, 300) { case (ids, tfs, dls) =>
+      val ps = ids.indices.map(i => Codec.P(ids(i), tfs(i), dls(i)))
+      assert(java.util.Arrays.equals(
+        Codec.encodeRaw(ids, tfs, dls, ids.length), Codec.encode(ps)),
+        "encodeRaw bytes diverge from encode")
+    }
+  }
 }
