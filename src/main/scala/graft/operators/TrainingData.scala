@@ -95,9 +95,13 @@ object TrainingData {
       .select(col("doc_id"), explode(graft.plans.Shingles3(col("toks"))).as("sh"))
     if (maxDf == Long.MaxValue) sh0
     else {
-      val good = sh0.groupBy(col("sh")).agg(count(lit(1)).as("shdf"))
+      // persisted: the df-cap consumes sh0 twice (the count and the semi
+      // join) and a narrow sh0 would re-tokenize + re-shingle the corpus
+      // for each
+      val sh0p = sh0.persist()
+      val good = sh0p.groupBy(col("sh")).agg(count(lit(1)).as("shdf"))
         .filter(col("shdf") <= maxDf).select(col("sh"))
-      sh0.join(good, Seq("sh"), "left_semi")
+      sh0p.join(good, Seq("sh"), "left_semi")
     }
   }
 
@@ -146,8 +150,13 @@ object TrainingData {
         .union(c.select(col("id_b").as("doc_id"))).distinct()
       sh.join(ids, Seq("doc_id"), "left_semi")
     }
-    val a = shJoin.select(col("doc_id").as("id_a"), col("sh"))
-    val b = shJoin.select(col("doc_id").as("id_b"), col("sh"))
+    // pre-partition ONCE by the join key: both self-join sides project the
+    // same exchanged subtree, so ReuseExchange computes the shuffle once
+    // and the join itself adds no exchange (guide §2.4 — two operations
+    // keyed the same way share one exchange)
+    val bySh = shJoin.repartition(col("sh"))
+    val a = bySh.select(col("sh"), col("doc_id").as("id_a"))
+    val b = bySh.select(col("sh"), col("doc_id").as("id_b"))
     val joined = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
     val pruned = cand.fold(joined)(c => joined.join(c, Seq("id_a", "id_b"), "left_semi"))
     pruned

@@ -1091,7 +1091,11 @@ object QueryEngine {
     val lazyMatches = phraseMatches(spark, blocks, phrase, cfg, slop, tombstones)
       .getOrElse(return emptyScores(spark))
     // two consumers (df count + scoring): persisted, left to LRU eviction
-    // like the other one-shot sweep intermediates (TrainingData note)
+    // like the other one-shot sweep intermediates (TrainingData note).
+    // NOTE (optimization round): folding the count into the scoring plan
+    // via a broadcast scalar aggregate was tried and MEASURED SLOWER
+    // (+0.09 s/query at sf0.1 — the BroadcastExchange job outweighs a
+    // count() on the cached matches), so the explicit count stays.
     val matches = lazyMatches.persist()
     val dfp = matches.count()
     if (dfp == 0) { matches.unpersist(); return emptyScores(spark) }
