@@ -115,7 +115,26 @@ object TombstoneSet {
       .as[Long]
       .groupByKey(_ >>> 16)
       .mapGroups { (page, it) =>
-        val lows = it.map(id => (id & 0xffffL).toInt).toArray.distinct
+        // dedup while STREAMING the group: set bits in an 8 KiB bitmap so
+        // a heavily duplicated tombstone relation (e.g. unioned dirs from
+        // a future multi-dir writer) can never inflate one group beyond
+        // O(8 KiB) — the former toArray.distinct materialized every
+        // pre-distinct id first (ADVICE r5)
+        val bits = new Array[Long](1024)
+        var nset = 0
+        it.foreach { id =>
+          val low = (id & 0xffffL).toInt
+          val w = low >>> 6
+          val m = 1L << (low & 63)
+          if ((bits(w) & m) == 0L) { bits(w) |= m; nset += 1 }
+        }
+        val lows = new Array[Int](nset)
+        var v = 0
+        var k = 0
+        while (v < 65536) {
+          if ((bits(v >>> 6) & (1L << (v & 63))) != 0L) { lows(k) = v; k += 1 }
+          v += 1
+        }
         val bb = java.nio.ByteBuffer.allocate(1 + (
           if (lows.length >= DenseThreshold) 8192 else 2 * lows.length))
         buildContainer(lows) match {

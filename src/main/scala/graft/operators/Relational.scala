@@ -71,14 +71,18 @@ object Relational {
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"), col("c_name"))
     }),
 
-    // J5: multi-key equi-join (calculate_fwci.py:90)
+    // J5: multi-key equi-join (calculate_fwci.py:90). The two aggregates
+    // are already co-partitioned on the join key, so the join needs no
+    // exchange; SHUFFLE_HASH picks a hash join over the default sort-merge
+    // (guide §3.1 — both sides fit a per-partition hash table; SMJ would
+    // add two full sorts purely to merge)
     "j5_multikey" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val a = li.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(count(lit(1)).as("n"))
       val b = li.groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(round(sum(col("l_quantity")), 4).as("qty"))
-      a.join(b, Seq("l_partkey", "l_suppkey"))
+      a.join(b.hint("shuffle_hash"), Seq("l_partkey", "l_suppkey"))
     }),
 
     // semi/anti joins (not in reference — EXISTS/NOT EXISTS coverage)

@@ -714,6 +714,14 @@ object QueryEngine {
   private val PhraseRe = """"([^"]*)"(?:~(\d+))?""".r
   private val FieldRe = """^([a-z_]+):(.+)$""".r
 
+  /** The transcript schema's filterable metadata columns — what a
+    * `field:value` token may name when no docs relation is available to
+    * enumerate columns. Docs-present calls still accept any column of the
+    * passed relation; docs-less calls treat every other colon-bearing
+    * token (URLs, 're:deploy') as stray free text.
+    */
+  val MetadataFields: Set[String] = Set("role", "tool")
+
   /** Largest accepted `~slop`: beyond it proximity is effectively "both
     * terms anywhere in the doc" and the per-start chain bound
     * `(n-1)+slop` must not overflow. Oversized (or unparseable) slops
@@ -808,13 +816,18 @@ object QueryEngine {
     // metadata column act as filters; the rest fall back to plain text
     // ('http://x' searches the terms http/x instead of crashing on an
     // unresolved column)
+    // without a docs relation the metadata columns are unknowable, so only
+    // the transcript schema's documented filterable fields count as field
+    // queries there — a stray 'http://x' or 're:deploy' falls back to free
+    // text instead of crashing the docs-less serving path (ADVICE r5: one
+    // such token used to throw and fail a whole searchBatch)
     val (knownFields, strayFields) = docs match {
       case Some(d) => pq0.fields.partition { case (f, _) => d.columns.contains(f) }
-      case None => (Nil, pq0.fields)
+      case None => pq0.fields.partition { case (f, _) => MetadataFields.contains(f) }
     }
-    if (pq0.fields.nonEmpty && docs.isEmpty)
+    if (knownFields.nonEmpty && docs.isEmpty)
       throw new IllegalArgumentException(
-        s"query [$query] has field predicates ${pq0.fields.map(f => f._1 + ":" + f._2)} " +
+        s"query [$query] has field predicates ${knownFields.map(f => f._1 + ":" + f._2)} " +
           "— pass the docs relation")
     val pq = pq0.copy(
       free = pq0.free ++ strayFields.map { case (f, v) => s"$f $v" },
@@ -839,8 +852,12 @@ object QueryEngine {
     // MatchAllDocsQuery + filter shape, not an empty result. '-term'
     // exclusions still apply ('role:user -spark' = the user turns that
     // don't contain spark), as a doc-level anti-join on the excluded
-    // terms' postings.
-    if (positive.isEmpty && fieldFilter.nonEmpty && pq.phrases.isEmpty) {
+    // terms' postings. Match-all fires only when the user typed NO
+    // positive intent at all: a wildcard that expanded to zero dictionary
+    // terms ('role:user zzz*') matches nothing, like Lucene — it must not
+    // silently widen to every filtered doc (ADVICE r5).
+    if (positive.isEmpty && fieldFilter.nonEmpty && pq.phrases.isEmpty &&
+        pq.prefixes.isEmpty) {
       import spark.implicits._
       val base = fieldFilter.get
       val filtered =
@@ -994,14 +1011,16 @@ object QueryEngine {
     require(phrases.nonEmpty || docFilter.nonEmpty,
       "composedTopK needs a phrase or a doc filter (tombstone enforcement)")
     if (positive.isEmpty) return emptyScores(spark)
-    // every phrase must match somewhere or the result is empty; persisted
-    // (two consumers: size probe + semi-join), left to LRU eviction
-    val matchSets = phrases.map { case (ph, slop) =>
-      phraseMatches(spark, blocks, ph, cfg, slop, tombstones) match {
-        case None => return emptyScores(spark)
-        case Some(df) => df.persist()
-      }
+    // every phrase must match somewhere or the result is empty. Resolve
+    // ALL the lazy match relations BEFORE persisting any: an early return
+    // on a later all-stopword phrase used to leak the earlier phrases'
+    // persists into the session cache (ADVICE r5). Persisted sets have two
+    // consumers (size probe + semi-join), left to LRU eviction.
+    val lazySets = phrases.map { case (ph, slop) =>
+      phraseMatches(spark, blocks, ph, cfg, slop, tombstones)
     }
+    if (lazySets.exists(_.isEmpty)) return emptyScores(spark)
+    val matchSets = lazySets.map(_.get.persist())
     val counts = matchSets.map(_.count())
     if (counts.contains(0L)) {
       matchSets.foreach(_.unpersist()); return emptyScores(spark)

@@ -314,6 +314,16 @@ class SearchSpec extends AnyFunSuite {
       QueryEngine.searchBatch(spark, idx.blocks, idx.termStats, idx.corpus,
         Seq("q" -> "dat*", "q" -> "spa*"), 10, 1, cfg)
     }
+    // DOCS-LESS serving path: a stray colon token (URL) degrades to free
+    // text instead of throwing; a GENUINE metadata field query still
+    // throws the pass-the-docs contract error
+    def sNoDocs(q: String) = rows(QueryEngine.search(spark, idx.blocks,
+      idx.termStats, idx.corpus, q, 10, 1, cfg))
+    assert(sNoDocs("http://example.com term0000") ==
+      rows(QueryEngine.wandTopK(spark, idx.blocks, idx.termStats, idx.corpus,
+        "http example com term0000", 10, cfg)),
+      "docs-less URL token must degrade to free text, not crash")
+    intercept[IllegalArgumentException] { sNoDocs("role:user x") }
   }
 
   test("searchBatch: every qid identical to its single search() call") {
