@@ -21,7 +21,7 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val reps = if (args.nonEmpty) args(0).toInt else 3
+    val reps = math.max(1, if (args.nonEmpty) args(0).toInt else 3)
     val only = args.drop(1).toSet
     val plansDir = sys.env.get("SPARK_GRAFT_PLANS_DIR")
 
@@ -62,11 +62,17 @@ object BenchExtra {
       name -> times
     }
     spark.sparkContext.setJobDescription(null)
-    println("=== per-query (min / all) ===")
-    results.sortBy(-_._2.min).foreach { case (n, ts) =>
-      println(f"${n}%-28s min=${ts.min}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    // failed reps are -1.0 sentinels: exclude them from min so a failure
+    // can never masquerade as the fastest run or deflate the total
+    def minOk(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
-    println(f"TOTAL_MIN=${results.map(_._2.min).sum}%.2f")
+    println("=== per-query (min / all) ===")
+    results.sortBy(r => -minOk(r._2)).foreach { case (n, ts) =>
+      println(f"${n}%-28s min=${minOk(ts)}%7.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    println(f"TOTAL_MIN=${results.map(r => math.max(0.0, minOk(r._2))).sum}%.2f")
     spark.stop()
   }
 }

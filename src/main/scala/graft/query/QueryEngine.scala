@@ -714,13 +714,18 @@ object QueryEngine {
   private val PhraseRe = """"([^"]*)"(?:~(\d+))?""".r
   private val FieldRe = """^([a-z_]+):(.+)$""".r
 
-  /** The transcript schema's filterable metadata columns — what a
-    * `field:value` token may name when no docs relation is available to
-    * enumerate columns. Docs-present calls still accept any column of the
-    * passed relation; docs-less calls treat every other colon-bearing
-    * token (URLs, 're:deploy') as stray free text.
+  /** The transcript schema's column names — what a `field:value` token may
+    * name when no docs relation is available to enumerate columns (derived
+    * from the Doc case class so it can never drift from the schema).
+    * Docs-present calls still accept any column of the passed relation;
+    * docs-less calls treat every other colon-bearing token (URLs,
+    * 're:deploy') as stray free text, and a token naming a REAL column
+    * throws the same pass-the-docs contract error as before — the same
+    * query string never silently changes meaning between the two call
+    * shapes.
     */
-  val MetadataFields: Set[String] = Set("role", "tool")
+  val MetadataFields: Set[String] =
+    org.apache.spark.sql.Encoders.product[graft.model.Doc].schema.fieldNames.toSet
 
   /** Largest accepted `~slop`: beyond it proximity is effectively "both
     * terms anywhere in the doc" and the per-start chain bound
@@ -939,7 +944,20 @@ object QueryEngine {
       s"duplicate qids in batch: ${queries.map(_._1)}")
     def empty: DataFrame =
       spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
-    val parsed = queries.map { case (qid, q) => (qid, q, parseQuery(q)) }
+    // stray colon tokens (URLs, field typos) are classified EXACTLY like
+    // search() does before routing, so a query that search() would degrade
+    // to plain free text stays in the shared WAND batch instead of paying
+    // an individual job for a cosmetic token
+    val parsed = queries.map { case (qid, q) =>
+      val pq0 = parseQuery(q)
+      val (knownFields, strayFields) = docs match {
+        case Some(d) => pq0.fields.partition { case (f, _) => d.columns.contains(f) }
+        case None => pq0.fields.partition { case (f, _) => MetadataFields.contains(f) }
+      }
+      (qid, q, pq0.copy(
+        free = pq0.free ++ strayFields.map { case (f, v) => s"$f $v" },
+        fields = knownFields))
+    }
     val (plain, other) =
       if (minShouldMatch == 1)
         parsed.partition { case (_, _, pq) =>
