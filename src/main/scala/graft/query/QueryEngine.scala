@@ -1043,6 +1043,10 @@ object QueryEngine {
     if (counts.contains(0L)) {
       matchSets.foreach(_.unpersist()); return emptyScores(spark)
     }
+    // NOTE (optimization round): overlapping this idf collect with the
+    // phrase-match counts via a Future (guide §2.6) was tried and measured
+    // WITHIN NOISE at sf0.1 (two ~60 ms jobs on idle cores) — the
+    // sequential form stays for its simpler failure semantics.
     val names = positive.map(_._1)
     val idfs: Map[String, Double] = termStats
       .filter($"term".isin(names: _*))
