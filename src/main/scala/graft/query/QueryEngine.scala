@@ -996,8 +996,10 @@ object QueryEngine {
     * [[phraseFilterRank]] plan generalized.
     *
     * Scale shape: each phrase's survivor relation is bounded by its rarest
-    * term and semi-join-prunes the decoded postings (broadcast when the
-    * MEASURED survivor count fits, else shuffle); exclusions are a
+    * term and semi-join-prunes the decoded postings (broadcast when that
+    * rarest term's dictionary df — a proven upper bound on the survivor
+    * count, fetched in the same collect as the idfs — fits the cap, else
+    * shuffle); exclusions are a
     * doc-level anti-join against the excluded terms' postings; everything
     * sits on the term-pushed block scan. Tombstones are enforced by the
     * positional matcher inside every phrase filter, or — on the fielded
@@ -1029,42 +1031,48 @@ object QueryEngine {
     require(phrases.nonEmpty || docFilter.nonEmpty,
       "composedTopK needs a phrase or a doc filter (tombstone enforcement)")
     if (positive.isEmpty) return emptyScores(spark)
-    // every phrase must match somewhere or the result is empty. Resolve
-    // ALL the lazy match relations BEFORE persisting any: an early return
-    // on a later all-stopword phrase used to leak the earlier phrases'
-    // persists into the session cache (ADVICE r5). Persisted sets have two
-    // consumers (size probe + semi-join), left to LRU eviction.
+    // every phrase must analyze to something or the result is empty
+    // (resolve ALL the lazy relations before doing any work — ADVICE r5)
     val lazySets = phrases.map { case (ph, slop) =>
       phraseMatches(spark, blocks, ph, cfg, slop, tombstones)
     }
     if (lazySets.exists(_.isEmpty)) return emptyScores(spark)
-    val matchSets = lazySets.map(_.get.persist())
-    val counts = matchSets.map(_.count())
-    if (counts.contains(0L)) {
-      matchSets.foreach(_.unpersist()); return emptyScores(spark)
+    val matchSets = lazySets.map(_.get)
+    // ONE stats collect serves the scoring weights AND the join-strategy
+    // gate: a phrase's survivor count is bounded by its rarest term's df
+    // (every match contains every phrase term), so the dictionary df
+    // replaces the round-5 persist + count() probe — the same
+    // driver-safety bound on the broadcast with one fewer eager action
+    // per phrase, and the match relation now has a single consumer inside
+    // the scoring job (no session-cache footprint at all). Slightly more
+    // conservative than the measured count in one corner — min-df > cap
+    // with an actual survivor set under it takes the shuffle join — which
+    // only ever trades a broadcast for the AQE-planned join, never the
+    // reverse. The big decoded-postings side still never shuffles on the
+    // broadcast path (guide §1.2 step 1 / §3.1).
+    val phraseToks = phrases.map { case (ph, _) =>
+      Analyzer.tokenize(ph, cfg.analyzer).distinct
     }
-    // NOTE (optimization round): overlapping this idf collect with the
-    // phrase-match counts via a Future (guide §2.6) was tried and measured
-    // WITHIN NOISE at sf0.1 (two ~60 ms jobs on idle cores) — the
-    // sequential form stays for its simpler failure semantics.
-    val names = positive.map(_._1)
-    val idfs: Map[String, Double] = termStats
+    val names = (positive.map(_._1) ++ phraseToks.flatten).distinct
+    val stats: Map[String, (Double, Long)] = termStats
       .filter($"term".isin(names: _*))
-      .collect().map(t => t.term -> t.idf).toMap
-    val live = positive.filter { case (t, _) => idfs.contains(t) }
-    if (live.isEmpty || live.size < m) {
-      matchSets.foreach(_.unpersist()); return emptyScores(spark)
-    }
-    val qdf = broadcast(live.map { case (t, qtf) => (t, qtf, idfs(t)) }
+      .collect().map(t => t.term -> (t.idf, t.df)).toMap
+    // a phrase term absent from the dictionary can match nowhere
+    if (phraseToks.exists(_.exists(t => !stats.contains(t))))
+      return emptyScores(spark)
+    val live = positive.filter { case (t, _) => stats.contains(t) }
+    if (live.isEmpty || live.size < m) return emptyScores(spark)
+    val qdf = broadcast(live.map { case (t, qtf) => (t, qtf, stats(t)._1) }
       .toDF("term", "qtf", "idf"))
     val p = cfg.params
     val post = scoringBlocks(blocks).toDF()
       .filter($"term".isin(live.map(_._1): _*))
       .select($"term", explode(graft.plans.DecodeBlock($"payload", $"n")).as("pp"))
       .select($"term", $"pp.docId".as("docId"), $"pp.tf".as("tf"), $"pp.dl".as("dl"))
-    val phrasePruned0 = matchSets.zip(counts).foldLeft(post) { case (acc, (ms, n)) =>
+    val phrasePruned0 = matchSets.zip(phraseToks).foldLeft(post) { case (acc, (ms, toks)) =>
       val survivors = ms.select($"docId")
-      if (n <= PhraseBroadcastCap) acc.join(broadcast(survivors), Seq("docId"), "left_semi")
+      if (toks.map(t => stats(t)._2).min <= PhraseBroadcastCap)
+        acc.join(broadcast(survivors), Seq("docId"), "left_semi")
       else acc.join(survivors, Seq("docId"), "left_semi")
     }
     val phrasePruned = docFilter.fold(phrasePruned0)(f =>
@@ -1151,9 +1159,12 @@ object QueryEngine {
       .limit(k)
   }
 
-  /** Max phrase-survivor rows phraseFilterRank will broadcast (~32 MB of
-    * docIds at 4M — comfortably under broadcast limits); beyond it the
+  /** Max phrase-survivor rows the composed paths will broadcast (~32 MB
+    * of docIds at 4M — comfortably under broadcast limits); beyond it the
     * semi-join degrades to a shuffle join rather than risking the driver.
+    * Gated on the phrase's rarest term's dictionary df (survivors ⊆ the
+    * rarest term's postings, so df ≥ the survivor count — driver-safe
+    * without a counting job).
     */
   val PhraseBroadcastCap = 4000000L
 
@@ -1178,7 +1189,7 @@ object QueryEngine {
       tombstones: TombstoneSet = TombstoneSet.empty
   ): DataFrame = {
     // the single-phrase case of the general composed plan — ONE
-    // implementation of the decode → measured-broadcast semi-join →
+    // implementation of the decode → df-gated-broadcast semi-join →
     // ascending-term BM25 fold pipeline, so the rank-identity-bearing
     // fold and the PhraseBroadcastCap degrade rule cannot drift between
     // this route and search()'s composed route

@@ -172,5 +172,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(term"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // r6 optimization: the phrase-survivor semi-join is gated on the
+    // rarest phrase term's dictionary df (a proven bound on the survivor
+    // count) instead of a persist + count() probe — the match relation
+    // must appear INSIDE this one plan as a broadcast build side, not as
+    // a separately-materialized InMemoryRelation
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "df-gated phrase survivor broadcast missing:\n" + p)
+    assert(!p.contains("InMemoryTableScan"),
+      "composed path regressed to a persisted phrase match set:\n" + p)
   }
 }
