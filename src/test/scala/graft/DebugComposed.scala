@@ -26,9 +26,11 @@ object DebugComposed {
 
     def jobsNow(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
 
-    val names = Seq("phrase_filter_rank", "bm25_mixed_q1", "bm25_mixed_q2",
-      "bm25_mixed_q3", "bm25_field_q1", "bm25_field_q2", "search_batch",
-      "bm25_q1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("phrase_filter_rank", "bm25_mixed_q1", "bm25_mixed_q2",
+        "bm25_mixed_q3", "bm25_field_q1", "bm25_field_q2", "search_batch",
+        "bm25_q1")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (0 until reps).map { _ =>
